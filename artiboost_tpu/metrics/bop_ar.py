@@ -1,0 +1,98 @@
+"""Test-time BOP metric: symmetry-aware MSSD averaged per object, plus
+the BOP average-recall over MSSD thresholds (parity:
+``anakin/metrics/bopAR.py:16-190``; the AR-over-thresholds extension
+follows the BOP challenge definition of recall at 0.05..0.5 diameter).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.metrics.metric import AverageMeter, Metric
+from artiboost_tpu.metrics.val_metric import mssd_values
+from artiboost_tpu.utils.bop_sym import build_sym_tensor, default_ycb_model_info
+from artiboost_tpu.utils.registry import METRIC
+
+
+@METRIC.register_module
+class AR(Metric):
+    def __init__(self, **cfg) -> None:
+        super().__init__()
+        if not cfg.get("USE_MSSD", True):
+            raise NotImplementedError("only MSSD-based AR is supported")
+        self.mssd_use_corners = cfg.get("MSSD_USE_CORNERS", False)
+        self.use_ho3d_ycb = cfg.get("USE_HO3D_YCB", False)
+        data_preset = cfg.get("DATA_PRESET", {}) or {}
+        self.center_idx: Optional[int] = (
+            data_preset.get("CENTER_IDX") if cfg.get("MSSD_USE_CENTER_IDX", False) else None
+        )
+        info = cfg.get("MODEL_INFO_PATH") or default_ycb_model_info()
+        R, t, valid = build_sym_tensor(info, cfg.get("MAX_SYM_DISC_STEP", 0.01))
+        self.n_obj = R.shape[0]
+        self.sym_R = jnp.asarray(R)
+        self.sym_t = jnp.asarray(t[..., 0])
+        self.sym_valid = jnp.asarray(valid)
+        # diameters (meters) for recall thresholds; models_info carries mm
+        if isinstance(info, dict) and "diameter" in info.get("1", {}):
+            self.diameters = np.array(
+                [info[str(i)]["diameter"] / 1000.0 for i in range(1, self.n_obj + 1)], np.float32)
+        else:
+            self.diameters = np.full((self.n_obj,), 0.2, np.float32)
+        self.reset()
+
+    def reset(self):
+        self.count = 0
+        self.objs_error = {i + 1: AverageMeter() for i in range(self.n_obj)}
+        self._errors: List[np.ndarray] = []
+        self._err_obj: List[np.ndarray] = []
+
+    def feed(self, preds: Dict, targs: Dict, **kwargs):
+        obj_idx = np.asarray(targs[Queries.OBJ_IDX]).astype(np.int32)
+        obj_can = (
+            targs[Queries.CORNERS_CAN] if self.mssd_use_corners else targs[Queries.OBJ_VERTS_CAN]
+        )
+        pad = targs.get(Queries.PADDING_MASK)
+        if pad is None or self.mssd_use_corners:
+            pad = jnp.ones(obj_can.shape[:2], jnp.float32)
+        gather = jnp.asarray(obj_idx - 1)
+        vals_m = mssd_values(
+            preds["box_rot_rotmat"],
+            preds["boxroot_3d_abs"].reshape(-1, 1, 3),
+            obj_can, pad,
+            targs[Queries.OBJ_TRANSF],
+            self.sym_R[gather], self.sym_t[gather], self.sym_valid[gather],
+            self.use_ho3d_ycb,
+        )
+        vals = np.asarray(vals_m)
+        for i, oi in enumerate(obj_idx.tolist()):
+            self.objs_error[int(oi)].update(float(vals[i]), n=1)
+        self._errors.append(vals)
+        self._err_obj.append(obj_idx)
+        self.count += vals.shape[0]
+
+    @property
+    def avg(self) -> float:
+        s = sum(m.sum for m in self.objs_error.values())
+        c = sum(m.count for m in self.objs_error.values())
+        return s / max(c, 1) * 1000.0  # mm
+
+    def get_measures(self, **kwargs) -> Dict[str, float]:
+        measures = {"MSSD": self.avg}
+        for idx, m in self.objs_error.items():
+            if m.count:
+                measures[f"MSSD_obj_{idx}"] = m.avg * 1000.0
+        # BOP AR: mean recall over thresholds theta = 0.05..0.5 of diameter
+        if self._errors:
+            errors = np.concatenate(self._errors)
+            obj = np.concatenate(self._err_obj)
+            diam = self.diameters[obj - 1]
+            thetas = np.linspace(0.05, 0.5, 10)
+            recalls = [(errors < th * diam).mean() for th in thetas]
+            measures["AR_MSSD"] = float(np.mean(recalls))
+        return measures
+
+    def __str__(self) -> str:
+        return f"mssd: {self.avg:6.4f}mm"

@@ -1,0 +1,121 @@
+"""PCK / AUC metrics (parity: ``anakin/metrics/pckmetric.py``).
+
+Distances accumulate as numpy chunks per keypoint (host side, eval
+only); the distance math itself runs on device.
+"""
+from __future__ import annotations
+
+from abc import abstractmethod
+from typing import Dict, List
+
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.metrics.metric import Metric
+from artiboost_tpu.utils.misc import CONST
+from artiboost_tpu.utils.registry import METRIC
+
+
+class PCKMetric(Metric):
+    def __init__(self, **cfg) -> None:
+        super().__init__()
+        self.val_min = cfg["VAL_MIN"]
+        self.val_max = cfg["VAL_MAX"]
+        self.steps = cfg["STEPS"]
+        self.reset()
+
+    @property
+    @abstractmethod
+    def num_kp(self):
+        ...
+
+    @abstractmethod
+    def _get_predictions(self, preds: Dict, targs: Dict):
+        """-> (kp_preds (B,N,D), kp_targs (B,N,D), kp_vis (B,N))."""
+
+    def reset(self):
+        self._dists: List[np.ndarray] = []  # chunks of (B, N)
+        self._vis: List[np.ndarray] = []
+        self.count = 0
+
+    def feed(self, preds: Dict, targs: Dict, **kwargs):
+        kp_preds, kp_targs, kp_vis = self._get_predictions(preds, targs)
+        kp_preds = np.asarray(kp_preds)
+        kp_targs = np.asarray(kp_targs)
+        kp_vis = np.asarray(kp_vis).astype(bool)
+        dist = np.linalg.norm(kp_preds - kp_targs, axis=-1)
+        self._dists.append(dist)
+        self._vis.append(kp_vis)
+        self.count += kp_preds.shape[0]
+
+    def _stacked(self):
+        return np.concatenate(self._dists, 0), np.concatenate(self._vis, 0)
+
+    def get_pck_all(self, threshold) -> float:
+        dists, vis = self._stacked()
+        pcks = []
+        for i in range(self.num_kp):
+            d = dists[:, i][vis[:, i]]
+            if d.size:
+                pcks.append(np.mean(d <= threshold))
+        return float(np.mean(pcks)) if pcks else float("nan")
+
+    def get_measures(self) -> Dict:
+        thresholds = np.linspace(self.val_min, self.val_max, self.steps)
+        area_under_one = np.trapz(np.ones_like(thresholds), thresholds)
+        dists, vis = self._stacked()
+        epe_mean_per_kp, auc_per_kp, pck_curve_per_kp = [], [], []
+        for i in range(self.num_kp):
+            d = dists[:, i][vis[:, i]]
+            if d.size == 0:
+                continue
+            epe_mean_per_kp.append(np.mean(d))
+            pck_curve = np.array([np.mean(d <= t) for t in thresholds])
+            pck_curve_per_kp.append(pck_curve)
+            auc_per_kp.append(np.trapz(pck_curve, thresholds) / area_under_one)
+        return {
+            "epe_mean_per_kp": np.array(epe_mean_per_kp),
+            "pck_curve_per_kp": np.array(pck_curve_per_kp),
+            "auc_per_kp": np.array(auc_per_kp),
+            "epe_mean_all": float(np.mean(epe_mean_per_kp)),
+            "auc_all": float(np.mean(auc_per_kp)),
+            "thresholds": thresholds,
+        }
+
+    def __str__(self):
+        m = self.get_measures()
+        return f"auc: {m['auc_all']:6.4f} | epe: {m['epe_mean_all']:6.4f}"
+
+
+@METRIC.register_module
+class Hand3DPCKMetric(PCKMetric):
+    num_kp = CONST.NUM_JOINTS
+
+    def _get_predictions(self, preds, targs):
+        targ = targs[Queries.JOINTS_3D] + targs[Queries.ROOT_JOINT][:, None]
+        return preds["joints_3d_abs"], targ, targs[Queries.JOINTS_VIS]
+
+
+@METRIC.register_module
+class Obj3DPCKMetric(PCKMetric):
+    num_kp = CONST.NUM_CORNERS
+
+    def _get_predictions(self, preds, targs):
+        targ = targs[Queries.CORNERS_3D] + targs[Queries.ROOT_JOINT][:, None]
+        return preds["corners_3d_abs"], targ, targs[Queries.CORNERS_VIS]
+
+
+@METRIC.register_module
+class Hand2DPCKMetric(PCKMetric):
+    num_kp = CONST.NUM_JOINTS
+
+    def _get_predictions(self, preds, targs):
+        return preds["joints_2d"], targs[Queries.JOINTS_2D], targs[Queries.JOINTS_VIS]
+
+
+@METRIC.register_module
+class Obj2DPCKMetric(PCKMetric):
+    num_kp = CONST.NUM_CORNERS
+
+    def _get_predictions(self, preds, targs):
+        return preds["corners_2d"], targs[Queries.CORNERS_2D], targs[Queries.CORNERS_VIS]

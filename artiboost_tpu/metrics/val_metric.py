@@ -1,0 +1,222 @@
+"""Per-CCV-triplet validation metrics driving ArtiBoost's reweighting.
+
+TPU-first redesign of ``anakin/metrics/val_metric.py``: the reference
+keeps a Python dict keyed by (obj_id, persp_id, grasp_id); here the CCV
+space is a dense ``(n_obj, n_persp, n_grasp)`` array pair (sum, count)
+updated by one scatter-add per batch on device. The mining step then
+consumes the dense averaged map directly — no host dict round-trip.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
+from artiboost_tpu.metrics.metric import Metric
+from artiboost_tpu.utils.bop_sym import build_sym_tensor, default_ycb_model_info
+from artiboost_tpu.utils.registry import METRIC
+
+_CAM_EXTR = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]], dtype=np.float32)
+
+
+class CCVMeter:
+    """Dense (sum, count) accumulator over the CCV space."""
+
+    def __init__(self, shape: Tuple[int, int, int]):
+        self.shape = shape
+        self.reset()
+
+    def reset(self):
+        self.sum_map = jnp.zeros(self.shape, jnp.float32)
+        self.count_map = jnp.zeros(self.shape, jnp.float32)
+
+    @staticmethod
+    @jax.jit
+    def _scatter(sum_map, count_map, oid, vid, gid, values, weights):
+        sum_map = sum_map.at[oid, vid, gid].add(values * weights)
+        count_map = count_map.at[oid, vid, gid].add(weights)
+        return sum_map, count_map
+
+    def update(self, oid, vid, gid, values, synth_flag):
+        w = jnp.asarray(synth_flag, jnp.float32)
+        self.sum_map, self.count_map = self._scatter(
+            self.sum_map, self.count_map,
+            jnp.asarray(oid, jnp.int32), jnp.asarray(vid, jnp.int32),
+            jnp.asarray(gid, jnp.int32), jnp.asarray(values, jnp.float32), w,
+        )
+
+    def averaged(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (avg_map, seen_mask)."""
+        seen = self.count_map > 0
+        avg = self.sum_map / jnp.maximum(self.count_map, 1.0)
+        return avg, seen
+
+    def as_dict(self) -> Dict[Tuple[int, int, int], float]:
+        """Reference-style dict view (host side, debugging/parity)."""
+        avg, seen = self.averaged()
+        avg, seen = np.asarray(avg), np.asarray(seen)
+        out = {}
+        for idx in np.argwhere(seen):
+            out[tuple(int(i) for i in idx)] = float(avg[tuple(idx)])
+        return out
+
+
+@jax.jit
+def _epe_values(pred, targ_rel, root):
+    return jnp.mean(jnp.linalg.norm(pred - (targ_rel + root[:, None]), axis=2), axis=1)
+
+
+@METRIC.register_module
+class ValMetricMean3DEPE2(Metric):
+    """Per-triplet mean EPE over VAL_KEYS (reference val_metric.py:55-144)."""
+
+    def __init__(self, **cfg) -> None:
+        super().__init__()
+        self.val_keys_list = cfg["VAL_KEYS"]
+        self.to_millimeters = cfg.get("MILLIMETERS", False)
+        self.ccv_shape = tuple(cfg.get("CCV_SHAPE", (21, 288, 50)))
+        self.meters: Dict[str, CCVMeter] = {k: CCVMeter(self.ccv_shape) for k in self.val_keys_list}
+        self.reset()
+
+    def reset(self):
+        self.count = 0
+        for m in self.meters.values():
+            m.reset()
+
+    def feed(self, preds: Dict, targs: Dict, **kwargs):
+        synth = targs[SynthQueries.IS_SYNTH]
+        oid = targs[SynthQueries.OBJ_ID]
+        vid = targs[SynthQueries.PERSP_ID]
+        gid = targs[SynthQueries.GRASP_ID]
+        # real samples carry id -1: clamp to 0, weight 0 via synth flag
+        oid_c = jnp.maximum(jnp.asarray(oid, jnp.int32), 0)
+        vid_c = jnp.maximum(jnp.asarray(vid, jnp.int32), 0)
+        gid_c = jnp.maximum(jnp.asarray(gid, jnp.int32), 0)
+        for key in self.val_keys_list:
+            targ_key = key.replace("_abs", "") if "_abs" in key else key
+            vals = _epe_values(preds[key], targs[targ_key], targs[Queries.ROOT_JOINT])
+            if self.to_millimeters:
+                vals = vals * 1000.0
+            self.meters[key].update(oid_c, vid_c, gid_c, vals, synth)
+        self.count += int(np.asarray(synth).shape[0])
+
+    def get_measures(self, **kwargs):
+        return {k: self.meters[k].as_dict() for k in self.val_keys_list}
+
+    def get_measures_averaged(self) -> Dict[Tuple[int, int, int], float]:
+        maps = [m.averaged() for m in self.meters.values()]
+        avg = sum(m[0] for m in maps) / len(maps)
+        seen = maps[0][1]
+        avg, seen = np.asarray(avg), np.asarray(seen)
+        return {
+            tuple(int(i) for i in idx): float(avg[tuple(idx)]) for idx in np.argwhere(seen)
+        }
+
+    def get_averaged_maps(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Dense (avg_map, seen_mask) — the fast path used by mining."""
+        maps = [m.averaged() for m in self.meters.values()]
+        avg = sum(m[0] for m in maps) / len(maps)
+        return avg, maps[0][1]
+
+    def __str__(self):
+        return ""
+
+
+@partial(jax.jit, static_argnames=("use_ho3d_ycb",))
+def mssd_values(
+    pred_rot: jnp.ndarray,     # (B, 3, 3)
+    pred_tsl: jnp.ndarray,     # (B, 1, 3)
+    obj_can: jnp.ndarray,      # (B, V, 3) canonical points (verts or corners)
+    pad_mask: jnp.ndarray,     # (B, V) 1=valid
+    obj_transf: jnp.ndarray,   # (B, 4, 4) GT pose
+    sym_R: jnp.ndarray,        # (B, S, 3, 3)
+    sym_t: jnp.ndarray,        # (B, S, 3)
+    sym_valid: jnp.ndarray,    # (B, S)
+    use_ho3d_ycb: bool = False,
+) -> jnp.ndarray:
+    """Maximum symmetry-aware surface distance, meters (B,).
+
+    min over symmetries of (max over valid points of |T_gt S x - T_pred x|).
+    Parity: reference val_metric.py:294-315.
+    """
+    if use_ho3d_ycb:
+        ext = jnp.asarray(_CAM_EXTR)
+        flipped = jnp.einsum("mn,bvn->bvm", ext, obj_can)
+        sym_can = jnp.einsum("bsmn,bvn->bsvm", sym_R, flipped) + sym_t[:, :, None]
+        sym_can = jnp.einsum("mn,bsvn->bsvm", ext, sym_can)
+    else:
+        sym_can = jnp.einsum("bsmn,bvn->bsvm", sym_R, obj_can) + sym_t[:, :, None]
+    sym_abs = (
+        jnp.einsum("bij,bsvj->bsvi", obj_transf[:, :3, :3], sym_can)
+        + obj_transf[:, None, None, :3, 3]
+    )  # (B, S, V, 3)
+    pred_abs = jnp.einsum("bij,bvj->bvi", pred_rot, obj_can) + pred_tsl  # (B, V, 3)
+    d = jnp.linalg.norm(sym_abs - pred_abs[:, None], axis=-1)  # (B, S, V)
+    d = jnp.where(pad_mask[:, None, :] > 0, d, 0.0)
+    d_max = jnp.max(d, axis=-1)  # (B, S)
+    big = jnp.asarray(jnp.finfo(d_max.dtype).max, d_max.dtype)
+    d_max = jnp.where(sym_valid > 0, d_max, big)
+    return jnp.min(d_max, axis=-1)
+
+
+@METRIC.register_module
+class ValMetricAR2(Metric):
+    """Per-triplet MSSD (reference val_metric.py:146-324)."""
+
+    def __init__(self, **cfg) -> None:
+        super().__init__()
+        self.use_mssd = cfg.get("USE_MSSD", True)
+        self.mssd_use_corners = cfg.get("MSSD_USE_CORNERS", False)
+        self.use_ho3d_ycb = cfg.get("USE_HO3D_YCB", False)
+        self.ccv_shape = tuple(cfg.get("CCV_SHAPE", (21, 288, 50)))
+        info = cfg.get("MODEL_INFO_PATH") or default_ycb_model_info()
+        R, t, valid = build_sym_tensor(info, cfg.get("MAX_SYM_DISC_STEP", 0.01))
+        self.sym_R = jnp.asarray(R)
+        self.sym_t = jnp.asarray(t[..., 0])
+        self.sym_valid = jnp.asarray(valid)
+        self.meter = CCVMeter(self.ccv_shape)
+        self.reset()
+
+    def reset(self):
+        self.count = 0
+        self.meter.reset()
+
+    def feed(self, preds: Dict, targs: Dict, **kwargs):
+        obj_idx = jnp.asarray(targs[Queries.OBJ_IDX], jnp.int32) - 1
+        obj_can = (
+            targs[Queries.CORNERS_CAN] if self.mssd_use_corners else targs[Queries.OBJ_VERTS_CAN]
+        )
+        pad = targs.get(Queries.PADDING_MASK)
+        if pad is None or self.mssd_use_corners:
+            pad = jnp.ones(obj_can.shape[:2], jnp.float32)
+        vals = mssd_values(
+            preds["box_rot_rotmat"],
+            preds["boxroot_3d_abs"].reshape(-1, 1, 3),
+            obj_can, pad,
+            targs[Queries.OBJ_TRANSF],
+            self.sym_R[obj_idx], self.sym_t[obj_idx], self.sym_valid[obj_idx],
+            self.use_ho3d_ycb,
+        ) * 1000.0  # mm
+
+        synth = targs[SynthQueries.IS_SYNTH]
+        oid = jnp.maximum(jnp.asarray(targs[SynthQueries.OBJ_ID], jnp.int32), 0)
+        vid = jnp.maximum(jnp.asarray(targs[SynthQueries.PERSP_ID], jnp.int32), 0)
+        gid = jnp.maximum(jnp.asarray(targs[SynthQueries.GRASP_ID], jnp.int32), 0)
+        self.meter.update(oid, vid, gid, vals, synth)
+        self.count += int(np.asarray(synth).shape[0])
+
+    def get_measures(self, **kwargs):
+        return {"mssd": self.meter.as_dict()}
+
+    def get_measures_averaged(self):
+        return self.meter.as_dict()
+
+    def get_averaged_maps(self):
+        return self.meter.averaged()
+
+    def __str__(self):
+        return ""

@@ -1,0 +1,108 @@
+"""HoNet — Hasson CVPR'20-style hand+object net (parity:
+``anakin/models/honetMANO.py:20-286``): ManoBranch hand + pixel-space
+scale/trans heads lifted to camera space via focal-scale reasoning
+(``recover_3d_proj``), plus an object trans/rot head relative to hand.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.models.hpregnet import ManoBranch, TransHead
+from artiboost_tpu.models.resnet import ResNet
+from artiboost_tpu.utils.registry import MODEL, build_backbone, build_head
+from artiboost_tpu.utils.transform import batch_persp_proj2d, rot6d_to_rotmat
+
+
+def recover_3d_proj(
+    objpoints3d: jnp.ndarray,  # (B, N, 3) centered
+    camintr: jnp.ndarray,      # (B, 3, 3)
+    est_scale: jnp.ndarray,    # (B, 1)
+    est_trans: jnp.ndarray,    # (B, 2)
+    input_res: Tuple[int, int],
+    off_z: float = 0.4,
+):
+    """Lift centered points to camera space from predicted pixel-space
+    scale/trans (reference honetMANO.py:113-139)."""
+    focal = camintr[:, 0:1, 0]  # (B, 1)
+    est_Z0 = focal * est_scale + off_z  # (B, 1)
+    cam_centers = camintr[:, :2, 2]
+    img_centers = jnp.asarray(input_res, dtype=objpoints3d.dtype) / 2.0
+    est_XY0 = (est_trans + img_centers - cam_centers) * est_Z0 / focal
+    est_c3d = jnp.concatenate([est_XY0, est_Z0], axis=-1)[:, None]  # (B, 1, 3)
+    return est_c3d + objpoints3d, est_c3d
+
+
+class HoNet(nn.Module):
+    backbone: ResNet
+    mano_branch: ManoBranch
+    obj_trans_factor: float = 100.0
+    obj_scale_factor: float = 0.0001
+    inp_res: Tuple[int, int] = (224, 224)
+    center_idx: int = 9
+
+    @nn.compact
+    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
+        image = inputs[Queries.IMAGE]
+        height, width = image.shape[1], image.shape[2]
+        feats = self.backbone(image, train=train)
+        feature = feats["res_layer4_mean"]
+        cam_intr = inputs[Queries.CAM_INTR]
+
+        mano_results = self.mano_branch(feature)
+
+        # hand absolute position from pixel-space scale/trans
+        scaletrans = TransHead(out_dim=3, name="mano_transhead")(feature)
+        trans = scaletrans[:, 1:]
+        scale = scaletrans[:, 0:1]
+        final_trans = trans * self.obj_trans_factor
+        final_scale = scale * self.obj_scale_factor
+        joints_3d_abs, root_joint = recover_3d_proj(
+            mano_results["joints_3d"], cam_intr, final_scale, final_trans, (width, height)
+        )
+        hand_verts_3d_abs = mano_results["hand_verts_3d"] + root_joint
+
+        # object: scale/trans + rotation (6 dim head), relative lift
+        scaletrans_obj = TransHead(out_dim=6, name="obj_transhead")(feature)
+        obj_scale = scaletrans_obj[:, 0:1] * self.obj_scale_factor
+        obj_trans = scaletrans_obj[:, 1:3] * self.obj_trans_factor
+        obj_rot6d_like = scaletrans_obj[:, :6]
+        rotmat = rot6d_to_rotmat(obj_rot6d_like)
+        corners_can = inputs[Queries.CORNERS_CAN]
+        obj_corners = jnp.einsum("bij,bnj->bni", rotmat, corners_can)
+        corners_3d_abs, obj_center = recover_3d_proj(
+            obj_corners, cam_intr, obj_scale, obj_trans, (width, height)
+        )
+
+        return {
+            "joints_3d_abs": joints_3d_abs,
+            "joints_3d": mano_results["joints_3d"],
+            "hand_verts_3d_abs": hand_verts_3d_abs,
+            "hand_verts_3d": mano_results["hand_verts_3d"],
+            "joints_2d": batch_persp_proj2d(joints_3d_abs, cam_intr),
+            "hand_verts_2d": batch_persp_proj2d(hand_verts_3d_abs, cam_intr),
+            "corners_3d_abs": corners_3d_abs,
+            "corners_3d": corners_3d_abs - obj_center,
+            "corners_2d": batch_persp_proj2d(corners_3d_abs, cam_intr),
+            "box_rot_rotmat": rotmat,
+            "boxroot_3d_abs": obj_center,
+            "root_joint": root_joint[:, 0],
+            "mano_shape": mano_results["mano_shape"],
+            "mano_pca_pose": mano_results["mano_pca_pose"],
+        }
+
+
+@MODEL.register_module(name="HoNet")
+def build_honet(**cfg):
+    data_preset = cfg.get("DATA_PRESET", {})
+    return HoNet(
+        backbone=build_backbone(cfg["BACKBONE"], default_args=data_preset),
+        mano_branch=build_head(cfg["HEAD"], default_args=data_preset),
+        obj_trans_factor=cfg.get("OBJ_TRANS_FACTOR", 100.0),
+        obj_scale_factor=cfg.get("OBJ_SCALE_FACTOR", 0.0001),
+        inp_res=tuple(data_preset.get("IMAGE_SIZE", (224, 224))),
+        center_idx=data_preset.get("CENTER_IDX", 9),
+    )

@@ -1,0 +1,160 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
+from artiboost_tpu.metrics import build_evaluator
+from artiboost_tpu.metrics.meanepe import Mean3DEPE
+from artiboost_tpu.metrics.pckmetric import Hand3DPCKMetric
+from artiboost_tpu.metrics.val_metric import CCVMeter, ValMetricAR2, ValMetricMean3DEPE2, mssd_values
+from artiboost_tpu.utils.transform import aa_to_rotmat
+
+
+def _batch(rng, B=6):
+    joints = rng.randn(B, 21, 3).astype(np.float32) * 0.05
+    corners = rng.randn(B, 8, 3).astype(np.float32) * 0.05
+    root = np.tile([0.0, 0.0, 0.5], (B, 1)).astype(np.float32)
+    verts = rng.randn(B, 64, 3).astype(np.float32) * 0.04
+    targs = {
+        Queries.JOINTS_3D: jnp.asarray(joints),
+        Queries.CORNERS_3D: jnp.asarray(corners),
+        Queries.ROOT_JOINT: jnp.asarray(root),
+        Queries.JOINTS_VIS: jnp.ones((B, 21), jnp.float32),
+        Queries.CORNERS_VIS: jnp.ones((B, 8), jnp.float32),
+        Queries.OBJ_IDX: jnp.asarray(rng.randint(1, 5, (B,)).astype(np.int32)),
+        Queries.OBJ_VERTS_CAN: jnp.asarray(verts),
+        Queries.CORNERS_CAN: jnp.asarray(corners),
+        Queries.OBJ_TRANSF: jnp.tile(jnp.eye(4), (B, 1, 1)),
+        Queries.PADDING_MASK: jnp.ones((B, 64), jnp.float32),
+        SynthQueries.IS_SYNTH: jnp.asarray([1, 1, 1, 0, 0, 0][:B]),
+        SynthQueries.OBJ_ID: jnp.asarray([0, 1, 1, -1, -1, -1][:B]),
+        SynthQueries.PERSP_ID: jnp.asarray([3, 4, 4, -1, -1, -1][:B]),
+        SynthQueries.GRASP_ID: jnp.asarray([5, 6, 6, -1, -1, -1][:B]),
+    }
+    preds = {
+        "joints_3d_abs": jnp.asarray(joints + root[:, None]),
+        "corners_3d_abs": jnp.asarray(corners + root[:, None]),
+        "joints_3d": jnp.asarray(joints),
+        "corners_3d": jnp.asarray(corners),
+        "boxroot_3d_abs": jnp.zeros((B, 1, 3)),
+        "box_rot_rotmat": jnp.tile(jnp.eye(3), (B, 1, 1)),
+    }
+    return preds, targs
+
+
+class TestMeanEPE:
+    def test_perfect_zero(self, rng):
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        preds, targs = _batch(rng)
+        m.feed(preds, targs)
+        assert m.get_measures()["joints_3d_abs_mepe"] < 1e-3
+
+    def test_known_offset(self, rng):
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        preds, targs = _batch(rng)
+        preds = dict(preds)
+        preds["joints_3d_abs"] = preds["joints_3d_abs"] + jnp.asarray([0.01, 0.0, 0.0])
+        m.feed(preds, targs)
+        np.testing.assert_allclose(m.get_measures()["joints_3d_abs_mepe"], 10.0, rtol=1e-4)
+
+    def test_filter_unseen(self, rng):
+        m = Mean3DEPE(VAL_KEYS=["corners_3d_abs"], MILLIMETERS=True,
+                      FILTER_UNSEEN_OBJ_IDXS=[1, 2, 3, 4])
+        preds, targs = _batch(rng)
+        m.feed(preds, targs)
+        # all objects filtered -> no samples counted
+        assert m.avg_meters["corners_3d_abs"].count == 0
+
+
+class TestPCK:
+    def test_auc_perfect(self, rng):
+        m = Hand3DPCKMetric(VAL_MIN=0.0, VAL_MAX=0.05, STEPS=20)
+        preds, targs = _batch(rng)
+        m.feed(preds, targs)
+        meas = m.get_measures()
+        assert meas["auc_all"] == pytest.approx(1.0)
+
+    def test_pck_at_threshold(self, rng):
+        m = Hand3DPCKMetric(VAL_MIN=0.0, VAL_MAX=0.05, STEPS=20)
+        preds, targs = _batch(rng)
+        preds = dict(preds)
+        preds["joints_3d_abs"] = preds["joints_3d_abs"] + jnp.asarray([0.02, 0.0, 0.0])
+        m.feed(preds, targs)
+        assert m.get_pck_all(0.01) == pytest.approx(0.0)
+        assert m.get_pck_all(0.03) == pytest.approx(1.0)
+
+
+class TestCCVMeter:
+    def test_scatter_and_average(self):
+        meter = CCVMeter((4, 8, 8))
+        meter.update(
+            oid=jnp.asarray([0, 0, 1]), vid=jnp.asarray([2, 2, 3]), gid=jnp.asarray([1, 1, 0]),
+            values=jnp.asarray([10.0, 20.0, 5.0]), synth_flag=jnp.asarray([1, 1, 1]))
+        avg, seen = meter.averaged()
+        assert float(avg[0, 2, 1]) == pytest.approx(15.0)
+        assert float(avg[1, 3, 0]) == pytest.approx(5.0)
+        assert int(np.asarray(seen).sum()) == 2
+
+    def test_real_samples_excluded(self):
+        meter = CCVMeter((4, 8, 8))
+        meter.update(
+            oid=jnp.asarray([0]), vid=jnp.asarray([0]), gid=jnp.asarray([0]),
+            values=jnp.asarray([99.0]), synth_flag=jnp.asarray([0]))
+        _, seen = meter.averaged()
+        assert int(np.asarray(seen).sum()) == 0
+
+
+class TestValMetrics:
+    def test_val_epe_per_triplet(self, rng):
+        m = ValMetricMean3DEPE2(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True,
+                                CCV_SHAPE=(4, 8, 8))
+        preds, targs = _batch(rng)
+        preds = dict(preds)
+        preds["joints_3d_abs"] = preds["joints_3d_abs"] + jnp.asarray([0.001, 0.0, 0.0])
+        m.feed(preds, targs)
+        res = m.get_measures_averaged()
+        assert set(res.keys()) == {(0, 3, 5), (1, 4, 6)}
+        for v in res.values():
+            assert v == pytest.approx(1.0, rel=1e-3)
+
+    def test_mssd_zero_for_gt_pose(self, rng):
+        preds, targs = _batch(rng)
+        m = ValMetricAR2(USE_MSSD=True, CCV_SHAPE=(4, 8, 8))
+        m.feed(preds, targs)
+        res = m.get_measures_averaged()
+        for v in res.values():
+            assert v < 1e-3
+
+    def test_mssd_symmetry_min(self):
+        """A z-axis-180-symmetric object posed flipped should score ~0 MSSD."""
+        flipR = np.asarray(aa_to_rotmat(jnp.asarray([0.0, 0.0, np.pi])))
+        sym_R = jnp.stack([jnp.eye(3), jnp.asarray(flipR)])[None]  # (1, 2, 3, 3)
+        sym_t = jnp.zeros((1, 2, 3))
+        sym_valid = jnp.ones((1, 2))
+        rng = np.random.RandomState(1)
+        can = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32) * 0.1)
+        vals = mssd_values(
+            pred_rot=jnp.asarray(flipR)[None],
+            pred_tsl=jnp.zeros((1, 1, 3)),
+            obj_can=can,
+            pad_mask=jnp.ones((1, 16)),
+            obj_transf=jnp.eye(4)[None],
+            sym_R=sym_R, sym_t=sym_t, sym_valid=sym_valid,
+        )
+        assert float(vals[0]) < 1e-5
+
+
+class TestEvaluator:
+    def test_feed_all_and_dump(self, rng):
+        ev = build_evaluator([
+            {"TYPE": "LossesMetric", "VIS_LOSS_KEYS": []},
+            {"TYPE": "Mean3DEPE", "VAL_KEYS": ["joints_3d_abs"], "MILLIMETERS": True},
+            {"TYPE": "Hand3DPCKMetric", "VAL_MIN": 0.0, "VAL_MAX": 0.05, "STEPS": 20},
+        ])
+        preds, targs = _batch(rng)
+        ev.feed_all(preds, targs, {"final_loss": jnp.asarray(0.5)})
+        striped = ev.get_measures_all_striped()
+        assert striped["LossesMetric"]["final_loss"] == pytest.approx(0.5)
+        assert "Mean3DEPE" in striped
+        ev.reset_all()
+        assert ev.losses_metric.count == 0
