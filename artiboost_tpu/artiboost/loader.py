@@ -1,0 +1,269 @@
+"""ArtiBoostLoader — the online exploration-and-synthesis orchestrator.
+
+Parity: ``anakin/artiboost/artiboost_loader.py`` (class ArtiBoostLoader)
+with the TPU-native architecture:
+
+  reference                          this framework
+  ------------------------------     --------------------------------
+  OVG torch DataLoader + GPU         one jitted pose-generator call
+    pose-gen under no_grad             over the whole epoch's triplets
+  /dev/shm pickle cache              GeneratedPoses arrays on device
+  render worker processes + queues   fused synth_batch jit (rasterizer
+                                       inside the input pipeline)
+  MixedDataset index concat          per-batch static real/synth split
+  dict-keyed per-triplet meters      dense (O, V, G) maps + scatter-add
+  update_method_1..4 python loops    masked array ops (mining.py)
+
+Public surface kept: ``prepare()``, ``step_eval(epoch, evaluator)``,
+``__iter__``/``__len__``, ``synth_shutdown()``, plus ``state_dict()`` /
+``load_state_dict()`` for checkpointing (weight + occurrence maps).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.artiboost.ccv import (
+    CCVSpace,
+    build_blacklist_map,
+    init_ccv_space,
+    sample_triplets,
+)
+from artiboost_tpu.artiboost.grasp_library import GraspLibrary, get_grasp_library
+from artiboost_tpu.artiboost.mining import UPDATE_METHODS
+from artiboost_tpu.artiboost.object_library import ObjectLibrary, get_object_library
+from artiboost_tpu.artiboost.pose_generator import GeneratedPoses, make_pose_generator
+from artiboost_tpu.artiboost.refiner import build_refiner
+from artiboost_tpu.artiboost.renderer import RenderAssets, default_render_assets
+from artiboost_tpu.artiboost.scrambler import build_scrambler
+from artiboost_tpu.artiboost.synth_batch import SynthConfig, make_synth_batch_fn
+from artiboost_tpu.artiboost.view_engine import ViewEngineConfig, persp_rotmat_centers
+from artiboost_tpu.mano.model import ManoModel, get_mano_model
+from artiboost_tpu.metrics.val_metric import ValMetricAR2, ValMetricMean3DEPE2
+from artiboost_tpu.utils.logger import logger
+
+
+class ArtiBoostLoader:
+    def __init__(
+        self,
+        real_dataset=None,                 # host dataset with sample_batch(idx)->dict
+        cfg: Optional[Dict] = None,        # the MANAGER yaml node
+        batch_size: int = 128,
+        n_epochs: int = 100,
+        mano_model: Optional[ManoModel] = None,
+        seed: int = 0,
+    ):
+        cfg = cfg or {}
+        self.batch_size = batch_size
+        self.n_epochs = n_epochs
+        self.key = jax.random.PRNGKey(seed)
+        self.use_synth = True
+        self.epoch_idx = 0
+
+        obj_cfg = cfg.get("OBJ_ENGINE", {})
+        obj_names = list(obj_cfg.get("OBJ", ["obj_a", "obj_b", "obj_c", "obj_d"]))
+        dataset_type = obj_cfg.get("OBJ_ORIGIN_DATASET", "HO3D")
+        grasp_cfg = cfg.get("GRASP_ENGINE", {})
+        n_grasp = int(grasp_cfg.get("GRASP_NUM", 50))
+        view_cfg_node = cfg.get("VIEW_ENGINE", {})
+        z_range = view_cfg_node.get("CAMERA_Z_RANGE", [0.45, 0.55])
+        self.view_cfg = ViewEngineConfig(
+            persp_u_bins=int(view_cfg_node.get("PERSP_U_BINS", 12)),
+            persp_theta_bins=int(view_cfg_node.get("PERSP_THETA_BINS", 24)),
+            camera_z_min=float(z_range[0]), camera_z_max=float(z_range[1]),
+        )
+
+        self.mano_model = mano_model if mano_model is not None else get_mano_model()
+        self.obj_lib: ObjectLibrary = get_object_library(obj_names, dataset_type)
+        self.grasp_lib: GraspLibrary = get_grasp_library(obj_names, n_grasp)
+
+        # CCV space (+ blacklist sweep, one vectorized shot)
+        n_obj = len(obj_names)
+        n_persp = self.view_cfg.n_persp
+        blacklist = None
+        if cfg.get("FILTER", {}).get("BACK", True):
+            blacklist = build_blacklist_map(
+                self.mano_model, self.grasp_lib.hand_pose,
+                persp_rotmat_centers(self.view_cfg))
+            logger.info(
+                f"blacklist: {float(jnp.mean(blacklist)) * 100:.1f}% of "
+                f"{n_obj * n_persp * n_grasp} CCV triplets filtered")
+        self.ccv = init_ccv_space(n_obj, n_persp, n_grasp, blacklist)
+
+        # mining config
+        self.update_method_key = cfg.get("UPDATE_METHOD", "method_1")
+        wu = cfg.get("WEIGHT_UPDATE", {})
+        self.weight_lower = float(wu.get("LOWER", 0.1))
+        self.weight_upper = float(wu.get("UPPER", 10.0))
+        dt = cfg.get("DIST_THRESHOLD", {})
+        self.dist_lower = float(dt.get("LOWER", 8.0))
+        self.dist_upper = float(dt.get("UPPER", 16.0))
+
+        # generation pipeline
+        scrambler = build_scrambler(cfg.get("SCRAMBLER", {"TYPE": "random",
+                                                          "HAND_TSL_SIGMA": 0.01,
+                                                          "HAND_POSE_SIGMA": 0.1}))
+        refiner = build_refiner(cfg.get("REFINER", {"TYPE": "null"}), self.mano_model)
+        self.pose_generator = make_pose_generator(
+            self.mano_model, self.obj_lib, self.grasp_lib, self.view_cfg,
+            scrambler, refiner)
+        self._generate_jit = jax.jit(self.pose_generator)
+
+        # render pipeline
+        rend_cfg = cfg.get("RENDERER", {})
+        cam = rend_cfg.get("CAM_PARAM", {})
+        data_preset = cfg.get("DATA_PRESET", {})
+        image_size = data_preset.get("IMAGE_SIZE", [224, 224])[0]
+        self.synth_cfg = SynthConfig(
+            image_size=int(image_size),
+            raw_size=int(rend_cfg.get("RENDER_SIZE", [512, 512])[0]),
+            fx=float(cam.get("FX", 435.0)), fy=float(cam.get("FY", 435.0)),
+            cx=float(cam.get("CX", 256.0)), cy=float(cam.get("CY", 256.0)),
+            crop_model=data_preset.get("CROP_MODEL", "root_obj"),
+            center_idx=int(data_preset.get("CENTER_IDX", 0)),
+            bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
+        )
+        self.assets: RenderAssets = default_render_assets(self.mano_model)
+        self._synth_batch_jit = jax.jit(
+            make_synth_batch_fn(self.mano_model, self.obj_lib, self.assets,
+                                self.synth_cfg))
+
+        # epoch sizing (parity: synth_len = synth_factor * len(real))
+        self.real_dataset = real_dataset
+        self.synth_factor = float(cfg.get("SYNTH_FACTOR", 0.6))
+        real_len = len(real_dataset) if real_dataset is not None else 0
+        self.config_len_train = int(cfg.get(
+            "CONFIG_LEN_TRAIN", max(int(self.synth_factor * real_len), batch_size)))
+        self.generated: Optional[GeneratedPoses] = None
+
+    # ------------------------------------------------------------------
+    # epoch lifecycle
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def prepare(self):
+        """Sample triplets + generate the epoch's pose cache (on device)."""
+        if not self.use_synth:
+            return
+        k_sample, k_gen = jax.random.split(self._next_key())
+        oid, vid, gid, occ = sample_triplets(
+            self.ccv, k_sample, self.config_len_train, replace=True)
+        self.ccv = self.ccv._replace(occurrence_map=occ)
+        self.generated = self._generate_jit(k_gen, oid, vid, gid)
+
+    def generate_render_cache(self, is_train: bool = True):
+        self.prepare() if is_train else None
+
+    # ------------------------------------------------------------------
+    # iteration: mixed real/synth batches
+    # ------------------------------------------------------------------
+    def _mixed_counts(self):
+        real_len = len(self.real_dataset) if self.real_dataset is not None else 0
+        synth_len = self.config_len_train if self.use_synth else 0
+        total = real_len + synth_len
+        if total == 0:
+            return 0, 0
+        n_synth = int(round(self.batch_size * synth_len / total))
+        if real_len == 0:
+            n_synth = self.batch_size
+        return self.batch_size - n_synth, n_synth
+
+    def __len__(self) -> int:
+        real_len = len(self.real_dataset) if self.real_dataset is not None else 0
+        synth_len = self.config_len_train if self.use_synth else 0
+        return max((real_len + synth_len) // self.batch_size, 1)
+
+    def __iter__(self) -> Iterator[Dict]:
+        n_real, n_synth = self._mixed_counts()
+        real_len = len(self.real_dataset) if self.real_dataset is not None else 0
+        real_perm = np.random.RandomState(
+            int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
+        ).permutation(max(real_len, 1))
+        real_ptr = 0
+        for _ in range(len(self)):
+            parts = []
+            if n_real and self.real_dataset is not None:
+                idx = [real_perm[(real_ptr + i) % real_len] for i in range(n_real)]
+                real_ptr += n_real
+                parts.append(self.real_dataset.sample_batch(idx))
+            if n_synth and self.generated is not None:
+                k_idx, k_batch = jax.random.split(self._next_key())
+                sidx = jax.random.randint(
+                    k_idx, (n_synth,), 0, self.generated.obj_id.shape[0])
+                parts.append(self._synth_batch_jit(k_batch, self.generated, sidx))
+            if not parts:
+                raise RuntimeError("ArtiBoostLoader has neither real nor synth data")
+            if len(parts) == 1:
+                yield parts[0]
+            else:
+                keys = set(parts[0].keys()) & set(parts[1].keys())
+                yield {
+                    k: jnp.concatenate(
+                        [jnp.asarray(parts[0][k]), jnp.asarray(parts[1][k])], axis=0)
+                    for k in keys
+                }
+
+    # ------------------------------------------------------------------
+    # mining
+    # ------------------------------------------------------------------
+    def step_eval(self, epoch_idx: int, evaluator) -> None:
+        """Collect per-triplet val maps from the evaluator and reweight."""
+        self.epoch_idx = epoch_idx
+        if not self.use_synth:
+            return
+        maps = []
+        for metric in evaluator.metrics_list:
+            if isinstance(metric, (ValMetricMean3DEPE2, ValMetricAR2)):
+                maps.append(metric.get_averaged_maps())
+        if not maps:
+            logger.warning("no ValMetric found; skipping ArtiBoost reweight")
+            return
+        avg = sum(m[0] for m in maps) / len(maps)
+        seen = maps[0][1]
+        for m in maps[1:]:
+            seen = seen & m[1]
+        self.sample_reweight(avg, seen, epoch_idx)
+        logger.info(f"ArtiBoost finished mining after epoch {epoch_idx}")
+
+    def sample_reweight(self, val_map, seen, epoch_idx: int):
+        update = UPDATE_METHODS[self.update_method_key](
+            self.ccv.sample_weight_map, val_map, seen,
+            self.weight_lower, self.weight_upper,
+            dist_lower_threshold=self.dist_lower,
+            dist_upper_threshold=self.dist_upper,
+            epoch_idx=epoch_idx, n_epochs=self.n_epochs,
+        )
+        self.ccv = self.ccv._replace(sample_weight_map=update["sample_weight_map"])
+
+    def synth_shutdown(self):
+        self.use_synth = False
+        self.generated = None
+        logger.warning("shut down synth dataset engine")
+
+    # ------------------------------------------------------------------
+    # checkpoint state (parity: recorder.py:177-226)
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict:
+        return {
+            "sample_weight_map": np.asarray(self.ccv.sample_weight_map),
+            "occurrence_map": np.asarray(self.ccv.occurrence_map),
+            "use_synth": self.use_synth,
+            "epoch_idx": self.epoch_idx,
+            "rng_key": np.asarray(jax.random.key_data(self.key)),
+        }
+
+    def load_state_dict(self, state: Dict):
+        self.ccv = self.ccv._replace(
+            sample_weight_map=jnp.asarray(state["sample_weight_map"]),
+            occurrence_map=jnp.asarray(state["occurrence_map"]),
+        )
+        if not state.get("use_synth", True):
+            self.synth_shutdown()
+        self.epoch_idx = int(state.get("epoch_idx", 0))
+        if "rng_key" in state:
+            self.key = jax.random.wrap_key_data(jnp.asarray(state["rng_key"]))

@@ -1,0 +1,214 @@
+"""Object mesh library as dense padded device arrays.
+
+Parity: ``anakin/artiboost/object_engine.py`` (HO3D/DexYCB ObjEngine) —
+loads canonical (bbox-centered) object meshes + 8 corners. The TPU
+redesign packs every object into fixed-size padded arrays so a batch of
+triplets can gather its object geometry with one indexed lookup inside
+jit. Includes a wavefront-OBJ parser (no trimesh on this image) and a
+deterministic synthetic library for asset-free runs.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.utils.logger import logger
+from artiboost_tpu.utils.transform import center_vert_bbox
+
+# HO3D YCB models live in an OpenGL-flipped frame (object_engine.py:35-41)
+_HO3D_CAM_EXTR = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]], dtype=np.float32)
+
+
+class ObjectLibrary(NamedTuple):
+    names: tuple                  # (n_obj,) python strings (static)
+    verts: jnp.ndarray            # (n_obj, V_MAX, 3) canonical, padded
+    vert_valid: jnp.ndarray       # (n_obj, V_MAX)
+    faces: jnp.ndarray            # (n_obj, F_MAX, 3) int32, padded (index 0)
+    face_valid: jnp.ndarray       # (n_obj, F_MAX)
+    colors: jnp.ndarray           # (n_obj, V_MAX, 3) vertex albedo
+    corners_can: jnp.ndarray      # (n_obj, 8, 3)
+    n_verts: jnp.ndarray          # (n_obj,) int32
+
+    @property
+    def n_obj(self) -> int:
+        return len(self.names)
+
+    @property
+    def v_max(self) -> int:
+        return self.verts.shape[1]
+
+    @property
+    def f_max(self) -> int:
+        return self.faces.shape[1]
+
+
+def load_obj_file(path: str):
+    """Minimal wavefront OBJ loader -> (verts (V,3), faces (F,3), colors)."""
+    verts, faces, colors = [], [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:  # vertex colors appended
+                    colors.append([float(x) for x in parts[4:7]])
+            elif line.startswith("f "):
+                idx = [p.split("/")[0] for p in line.split()[1:]]
+                idx = [int(i) - 1 for i in idx]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    colors = np.asarray(colors, np.float32) if colors else None
+    return verts, faces, colors
+
+
+def _pack(meshes: List[dict], names: List[str], v_max: Optional[int] = None,
+          f_max: Optional[int] = None) -> ObjectLibrary:
+    n = len(meshes)
+    v_max = v_max or max(m["verts"].shape[0] for m in meshes)
+    f_max = f_max or max(m["faces"].shape[0] for m in meshes)
+    verts = np.zeros((n, v_max, 3), np.float32)
+    vval = np.zeros((n, v_max), np.float32)
+    faces = np.zeros((n, f_max, 3), np.int32)
+    fval = np.zeros((n, f_max), np.float32)
+    colors = np.full((n, v_max, 3), 0.6, np.float32)
+    corners = np.zeros((n, 8, 3), np.float32)
+    nv = np.zeros((n,), np.int32)
+    for i, m in enumerate(meshes):
+        mv, mf = m["verts"], m["faces"]
+        if mv.shape[0] > v_max:  # truncate oversize meshes; drop dangling faces
+            mv = mv[:v_max]
+            mf = mf[(mf < v_max).all(axis=1)]
+        mf = mf[:f_max]
+        V, F = mv.shape[0], mf.shape[0]
+        verts[i, :V] = mv
+        vval[i, :V] = 1.0
+        faces[i, :F] = mf
+        fval[i, :F] = 1.0
+        if m.get("colors") is not None:
+            colors[i, :V] = m["colors"][:V]
+        corners[i] = m["corners"]
+        nv[i] = V
+    return ObjectLibrary(
+        names=tuple(names),
+        verts=jnp.asarray(verts), vert_valid=jnp.asarray(vval),
+        faces=jnp.asarray(faces), face_valid=jnp.asarray(fval),
+        colors=jnp.asarray(colors), corners_can=jnp.asarray(corners),
+        n_verts=jnp.asarray(nv),
+    )
+
+
+def _bbox_corners(verts: np.ndarray) -> np.ndarray:
+    lo, hi = verts.min(0), verts.max(0)
+    return np.array([
+        [lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+        [lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+        [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]],
+        [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]],
+    ], np.float32)
+
+
+def load_object_library(
+    query_obj: List[str],
+    obj_root: str = "./data/YCB_models_process",
+    dataset_type: str = "HO3D",
+    mesh_name: str = "ds_textured.obj",
+    max_verts: int = 2048,
+) -> ObjectLibrary:
+    """Load + canonicalize real YCB meshes (HO3D frame flip applied)."""
+    meshes = []
+    for name in query_obj:
+        path = os.path.join(obj_root, name, mesh_name)
+        verts, faces, colors = load_obj_file(path)
+        if dataset_type == "HO3D":
+            verts = verts @ _HO3D_CAM_EXTR.T
+        verts, _, _ = center_vert_bbox(verts, scale=False)
+        if verts.shape[0] > max_verts:  # stride-decimate oversized meshes
+            keep = np.linspace(0, verts.shape[0] - 1, max_verts).astype(np.int64)
+            remap = np.full(verts.shape[0], -1, np.int64)
+            remap[keep] = np.arange(max_verts)
+            nearest = keep[np.searchsorted(keep, np.arange(verts.shape[0]).clip(0, keep[-1]))]
+            faces = remap[nearest[faces]]
+            verts = verts[keep]
+            colors = colors[keep] if colors is not None else None
+            faces = faces[(faces >= 0).all(1) & (faces.max(1) != faces.min(1))]
+        meshes.append({
+            "verts": verts, "faces": faces, "colors": colors,
+            "corners": _bbox_corners(verts),
+        })
+    return _pack(meshes, query_obj)
+
+
+def synthetic_object_library(
+    query_obj: List[str], seed: int = 0, v_max: int = 512, f_max: int = 1024
+) -> ObjectLibrary:
+    """Deterministic procedural objects (boxes/cylinders with per-object
+    color) matching real-library shapes; used when YCB assets are absent."""
+    rng = np.random.RandomState(seed)
+    meshes = []
+    for i, name in enumerate(query_obj):
+        kind = i % 2
+        size = 0.05 + 0.03 * rng.rand(3)
+        if kind == 0:  # box: grid on each face
+            n_side = 8
+            vs, fs = [], []
+            grid = np.linspace(-0.5, 0.5, n_side)
+            for axis in range(3):
+                for sgn in (-1.0, 1.0):
+                    base = len(vs)
+                    for a in grid:
+                        for b in grid:
+                            p = np.zeros(3)
+                            p[axis] = 0.5 * sgn
+                            p[(axis + 1) % 3] = a
+                            p[(axis + 2) % 3] = b
+                            vs.append(p)
+                    for r in range(n_side - 1):
+                        for c in range(n_side - 1):
+                            p0 = base + r * n_side + c
+                            fs.append([p0, p0 + 1, p0 + n_side])
+                            fs.append([p0 + 1, p0 + n_side + 1, p0 + n_side])
+            verts = np.asarray(vs, np.float32) * size * 2
+            faces = np.asarray(fs, np.int32)
+        else:  # cylinder
+            n_seg, n_h = 24, 10
+            vs, fs = [], []
+            for hi in range(n_h):
+                z = (hi / (n_h - 1) - 0.5) * size[2] * 2
+                for si in range(n_seg):
+                    a = 2 * np.pi * si / n_seg
+                    vs.append([size[0] * np.cos(a), size[1] * np.sin(a), z])
+            for hi in range(n_h - 1):
+                for si in range(n_seg):
+                    p0 = hi * n_seg + si
+                    p1 = hi * n_seg + (si + 1) % n_seg
+                    fs.append([p0, p1, p0 + n_seg])
+                    fs.append([p1, p1 + n_seg, p0 + n_seg])
+            verts = np.asarray(vs, np.float32)
+            faces = np.asarray(fs, np.int32)
+        verts, _, _ = center_vert_bbox(verts, scale=False)
+        color = np.tile(rng.rand(3).astype(np.float32) * 0.6 + 0.2, (verts.shape[0], 1))
+        meshes.append({
+            "verts": verts, "faces": faces, "colors": color,
+            "corners": _bbox_corners(verts),
+        })
+    return _pack(meshes, query_obj, v_max=v_max, f_max=f_max)
+
+
+def get_object_library(query_obj: List[str], dataset_type: str = "HO3D",
+                       obj_root: Optional[str] = None) -> ObjectLibrary:
+    roots = [obj_root] if obj_root else []
+    roots += ["./data/YCB_models_process", "./data/DexYCB/models"]
+    for root in roots:
+        if root and all(os.path.isdir(os.path.join(root, n)) for n in query_obj):
+            try:
+                return load_object_library(query_obj, root, dataset_type)
+            except Exception as e:  # asset corrupt/partial
+                logger.warning(f"object asset load failed ({e}); using synthetic library")
+                break
+    logger.warning("YCB object assets not found; using synthetic object library")
+    return synthetic_object_library(query_obj)

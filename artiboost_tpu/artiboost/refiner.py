@@ -1,0 +1,150 @@
+"""Grasp-validity refiner (GrabNet RefineNet) in flax.
+
+Parity: ``anakin/artiboost/refiner.py`` — ``null`` pass-through
+(:118-147) and ``hand_obj`` = iterative RefineNet (:150-285): hand ->
+object point distances (the CUDA chamfer ext, here the MXU matmul-argmin
+op), ResBlock MLP predicting delta pose (16 x 6D rotation) + delta
+translation, re-evaluating contact each of N iterations.
+
+Note on 6D layout: this implementation uses the column-major ortho-6D
+convention of ``utils.transform.rot6d_to_rotmat``; GrabNet's released
+checkpoint stores row-interleaved pairs — the torch converter permutes
+when importing ``refinenet.pt``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from artiboost_tpu.mano.layer import mano_forward
+from artiboost_tpu.mano.model import ManoModel
+from artiboost_tpu.ops.chamfer import chamfer_distance
+from artiboost_tpu.utils.transform import aa_to_rotmat, rot6d_to_rotmat, rotmat_to_aa
+
+
+class ResBlock(nn.Module):
+    fout: int
+    n_neurons: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        fin = x.shape[-1]
+        xin = x if fin == self.fout else nn.leaky_relu(nn.Dense(self.fout)(x), 0.2)
+        h = nn.Dense(self.n_neurons)(x)
+        h = nn.LayerNorm()(h)  # BN in eval mode ~ fixed affine; LN is the
+        h = nn.leaky_relu(h, 0.2)  # jit-friendly stand-in with same role
+        h = nn.Dense(self.fout)(h)
+        h = nn.LayerNorm()(h)
+        return nn.leaky_relu(xin + h, 0.2)
+
+
+class RefineNet(nn.Module):
+    """One refinement step: distances + current pose -> delta pose/tsl."""
+
+    h_size: int = 512
+
+    @nn.compact
+    def __call__(self, h2o_dist, pose_6d, trans):
+        """h2o_dist (B, 778), pose_6d (B, 96), trans (B, 3)."""
+        d = nn.LayerNorm()(h2o_dist)
+        x0 = jnp.concatenate([d, pose_6d, trans], axis=1)
+        x = ResBlock(self.h_size)(x0)
+        x = ResBlock(self.h_size)(jnp.concatenate([x, x0], axis=1))
+        x = ResBlock(self.h_size)(jnp.concatenate([x, x0], axis=1))
+        # delta heads start at zero so an untrained refiner is the identity
+        # (the reference always loads pretrained GrabNet weights; without
+        # them random deltas would catapult the hand out of frame)
+        dpose = nn.Dense(16 * 6, kernel_init=nn.initializers.zeros)(x)
+        dtrans = nn.Dense(3, kernel_init=nn.initializers.zeros)(x)
+        return dpose, dtrans
+
+
+def pose_aa_to_6d(pose_aa: jnp.ndarray) -> jnp.ndarray:
+    """(B, 48) -> (B, 96) per-joint ortho-6D."""
+    B = pose_aa.shape[0]
+    rot = aa_to_rotmat(pose_aa.reshape(B, 16, 3))
+    return jnp.concatenate([rot[..., :, 0], rot[..., :, 1]], axis=-1).reshape(B, 96)
+
+
+def pose_6d_to_aa(pose_6d: jnp.ndarray) -> jnp.ndarray:
+    B = pose_6d.shape[0]
+    rot = rot6d_to_rotmat(pose_6d.reshape(B, 16, 6))
+    return rotmat_to_aa(rot).reshape(B, 48)
+
+
+def make_null_refiner(mano_model: ManoModel) -> Callable:
+    """fn(feed) -> refined dict; FK only (parity NullRefine :118-147)."""
+
+    def refine(feed: Dict, obj_verts=None, obj_valid=None) -> Dict:
+        out = mano_forward(mano_model, feed["hand_pose"], feed.get(
+            "hand_shape", jnp.zeros((feed["hand_pose"].shape[0], 10))))
+        tsl = feed["hand_tsl"]
+        return {
+            "hand_verts": out.verts + tsl[:, None],
+            "joints": out.joints + tsl[:, None],
+            "hand_pose": feed["hand_pose"],
+            "hand_tsl": tsl,
+        }
+
+    return refine
+
+
+def make_ho_refiner(
+    mano_model: ManoModel,
+    refine_net: RefineNet,
+    params,
+    n_iters: int = 3,
+) -> Callable:
+    """fn(feed, obj_verts, obj_valid) -> refined dict.
+
+    feed: hand_pose (B, 48), hand_tsl (B, 3), hand_shape (B, 10) opt.
+    obj_verts: (B, M, 3) object points already rotated into the hand
+    frame (parity: HORefiner rotates resampled objs by obj_rot :225).
+    """
+
+    def refine(feed: Dict, obj_verts: jnp.ndarray,
+               obj_valid: Optional[jnp.ndarray] = None) -> Dict:
+        B = feed["hand_pose"].shape[0]
+        shape = feed.get("hand_shape", jnp.zeros((B, 10)))
+        pose_6d = pose_aa_to_6d(feed["hand_pose"])
+        trans = feed["hand_tsl"]
+
+        def h2o(pose_6d_, trans_):
+            aa = pose_6d_to_aa(pose_6d_)
+            verts = mano_forward(mano_model, aa, shape).verts + trans_[:, None]
+            d_xy, _ = chamfer_distance(verts, obj_verts, mask_y=obj_valid)
+            return jnp.sqrt(jnp.maximum(d_xy, 1e-12))  # |signed| (ref :226)
+
+        def body(_, carry):
+            pose_6d_, trans_ = carry
+            dist = h2o(pose_6d_, trans_)
+            dpose, dtrans = refine_net.apply(params, dist, pose_6d_, trans_)
+            return pose_6d_ + dpose, trans_ + dtrans
+
+        pose_6d, trans = jax.lax.fori_loop(0, n_iters, body, (pose_6d, trans))
+
+        aa = pose_6d_to_aa(pose_6d)
+        out = mano_forward(mano_model, aa, shape)
+        return {
+            "hand_verts": out.verts + trans[:, None],
+            "joints": out.joints + trans[:, None],
+            "hand_pose": aa,
+            "hand_tsl": trans,
+        }
+
+    return refine
+
+
+def build_refiner(cfg: Dict, mano_model: ManoModel, key: Optional[jax.Array] = None):
+    """cfg: {"TYPE": "null"|"hand_obj", "ITERS": 3, "PRETRAINED": path}."""
+    if cfg.get("TYPE", "null") == "null":
+        return make_null_refiner(mano_model)
+    net = RefineNet()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1, 778)), jnp.zeros((1, 96)), jnp.zeros((1, 3)))
+    # PRETRAINED torch checkpoint import is handled by utils.torch_convert
+    return make_ho_refiner(mano_model, net, params, n_iters=int(cfg.get("ITERS", 3)))

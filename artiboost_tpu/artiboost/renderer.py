@@ -1,0 +1,174 @@
+"""On-device synthetic scene rendering: hand + object -> training image.
+
+TPU-first replacement for the reference render farm
+(``anakin/utils/renderer.py`` + ``anakin/artiboost/render_infra.py`` +
+``rendered_dataset.py``). Key redesigns:
+
+  * **render-at-crop**: the reference renders 512x512 then warps a
+    224x224 crop; since the crop affine is scale+translate(+roll), we
+    fold it into the camera (post-rot intrinsics + in-plane scene
+    rotation) and rasterize directly at 224x224 — exact, and ~5x fewer
+    pixels;
+  * the hand texture bank and point-light randomization become
+    per-vertex color banks + Gouraud shading before rasterization;
+  * background compositing, gaussian blur, and color jitter are batched
+    tensor ops fused into the same jit as the rasterizer;
+  * no processes, no queues, no pickles: poses in, image batches out.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.artiboost.object_library import ObjectLibrary
+from artiboost_tpu.mano.model import ManoModel
+from artiboost_tpu.ops.rasterizer import project_verts, shade_vertices, vertex_normals
+from artiboost_tpu.ops.rasterizer_pallas import rasterize_batch_pallas
+
+
+class RenderAssets(NamedTuple):
+    hand_faces: jnp.ndarray       # (Fh, 3) int32
+    hand_color_bank: jnp.ndarray  # (n_tex, 778, 3) vertex-baked hand textures
+    backgrounds: jnp.ndarray      # (n_bg, Hb, Wb, 3) float in [0, 1]
+
+
+def synthetic_backgrounds(n_bg: int = 8, size: int = 336, seed: int = 0) -> jnp.ndarray:
+    """Procedural background bank (gradients + low-freq noise) standing in
+    for ``assets/synth_bg`` when absent."""
+    rng = np.random.RandomState(seed)
+    bgs = []
+    for _ in range(n_bg):
+        lo = rng.rand(6, 6, 3).astype(np.float32)
+        img = jax.image.resize(jnp.asarray(lo), (size, size, 3), "bilinear")
+        bgs.append(np.asarray(img) * 0.8 + 0.1)
+    return jnp.asarray(np.stack(bgs))
+
+
+def synthetic_hand_color_bank(n_tex: int = 8, seed: int = 0) -> jnp.ndarray:
+    """Skin-tone vertex-color bank standing in for the 51 HTML textured
+    hands (``anakin/artiboost/hand_texture.py``)."""
+    rng = np.random.RandomState(seed)
+    base = np.array([0.80, 0.60, 0.50], np.float32)
+    bank = []
+    for _ in range(n_tex):
+        tone = base * (0.7 + 0.5 * rng.rand(3).astype(np.float32))
+        noise = rng.rand(778, 3).astype(np.float32) * 0.06
+        bank.append(np.clip(tone + noise, 0.0, 1.0))
+    return jnp.asarray(np.stack(bank))
+
+
+def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8
+                          ) -> RenderAssets:
+    return RenderAssets(
+        hand_faces=mano_model.faces,
+        hand_color_bank=synthetic_hand_color_bank(n_tex),
+        backgrounds=synthetic_backgrounds(n_bg),
+    )
+
+
+def compose_scene(
+    hand_verts: jnp.ndarray,    # (B, 778, 3) camera space
+    hand_colors: jnp.ndarray,   # (B, 778, 3)
+    hand_faces: jnp.ndarray,    # (Fh, 3)
+    obj_lib: ObjectLibrary,
+    obj_id: jnp.ndarray,        # (B,)
+    obj_pose: jnp.ndarray,      # (B, 4, 4)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (verts (B, V, 3), colors (B, V, 3), faces (B, F, 3), face_valid)."""
+    B = hand_verts.shape[0]
+    overts_can = obj_lib.verts[obj_id]
+    ocolors = obj_lib.colors[obj_id]
+    ofaces = obj_lib.faces[obj_id]
+    ofvalid = obj_lib.face_valid[obj_id]
+    overts = (
+        jnp.einsum("bij,bnj->bni", obj_pose[:, :3, :3], overts_can)
+        + obj_pose[:, None, :3, 3]
+    )
+    verts = jnp.concatenate([hand_verts, overts], axis=1)
+    colors = jnp.concatenate([hand_colors, ocolors], axis=1)
+    n_hand = hand_verts.shape[1]
+    faces = jnp.concatenate(
+        [jnp.broadcast_to(hand_faces[None], (B,) + hand_faces.shape),
+         ofaces + n_hand], axis=1)
+    fvalid = jnp.concatenate(
+        [jnp.ones((B, hand_faces.shape[0]), jnp.float32), ofvalid], axis=1)
+    return verts, colors, faces, fvalid
+
+
+def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
+    """Separable gaussian blur with per-sample sigma (B, H, W, 3)."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-3)) ** 2)  # (B, K)
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+
+    def blur_one(im, kk):
+        imh = jnp.pad(im, ((radius, radius), (0, 0), (0, 0)), mode="edge")
+        out = sum(imh[i:i + im.shape[0]] * kk[i] for i in range(2 * radius + 1))
+        outw = jnp.pad(out, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+        return sum(outw[:, i:i + im.shape[1]] * kk[i] for i in range(2 * radius + 1))
+
+    return jax.vmap(blur_one)(img, k)
+
+
+def _color_jitter(img: jnp.ndarray, key: jax.Array,
+                  brightness=0.3, contrast=0.3, saturation=0.3) -> jnp.ndarray:
+    B = img.shape[0]
+    kb, kc, ks = jax.random.split(key, 3)
+    b = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+    c = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    s = jax.random.uniform(ks, (B, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    img = img * b
+    mean = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
+    img = (img - mean) * c + mean
+    gray = jnp.mean(img, axis=-1, keepdims=True)
+    img = (img - gray) * s + gray
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def render_scene(
+    verts: jnp.ndarray,        # (B, V, 3) camera space
+    colors: jnp.ndarray,       # (B, V, 3)
+    faces: jnp.ndarray,        # (B, F, 3)
+    face_valid: jnp.ndarray,   # (B, F)
+    intr: jnp.ndarray,         # (B, 3, 3)
+    backgrounds: jnp.ndarray,  # (n_bg, Hb, Wb, 3)
+    key: jax.Array,
+    height: int,
+    width: int,
+    ambient: float = 0.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
+    B = verts.shape[0]
+    k_light, k_bg, k_pos = jax.random.split(key, 3)
+
+    # random point light, intensity U(1, 5) (renderer.py:104)
+    light_int = jax.random.uniform(k_light, (B, 1), minval=1.0, maxval=5.0) * 0.05
+    normals = jax.vmap(vertex_normals)(verts, faces)
+    light_pos = jnp.asarray([[0.3, -0.3, -0.3]])
+    shaded = jax.vmap(
+        lambda v, n, c, li: shade_vertices(
+            v, n, c, ambient=ambient, light_pos=light_pos,
+            light_intensity=li, light_color=jnp.ones((1, 3)))
+    )(verts, normals, colors, light_int)
+
+    vs = jax.vmap(
+        lambda v, K: project_verts(v, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    )(verts, intr)
+    rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width)
+
+    # random background crop (renderer.py:111-136): random position of a
+    # fixed-size window in the 1.5x bank image
+    n_bg, Hb, Wb, _ = backgrounds.shape
+    bid = jax.random.randint(k_bg, (B,), 0, n_bg)
+    py = jax.random.randint(k_pos, (B,), 0, Hb - height + 1)
+    px = jax.random.randint(jax.random.fold_in(k_pos, 1), (B,), 0, Wb - width + 1)
+    bg = jax.vmap(
+        lambda b, y, x: jax.lax.dynamic_slice(backgrounds[b], (y, x, 0), (height, width, 3))
+    )(bid, py, px)
+
+    mask = (depth > 0)[..., None]
+    return jnp.where(mask, rgb, bg), depth

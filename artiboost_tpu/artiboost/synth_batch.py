@@ -1,0 +1,201 @@
+"""Generated poses -> fully-formed training sample batches, in one jit.
+
+Parity: ``anakin/artiboost/rendered_dataset.py`` __getitem__ (:155-274)
+— crop around hand/object, affine + intrinsics update, visibility >=40%
+rules, blur/color jitter, normalization, and the Queries/SynthQueries
+sample schema. TPU redesign: the crop is computed *before* rendering and
+folded into the camera (render-at-crop), and the whole batch is one
+fused device computation feeding the train step directly.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from artiboost_tpu.artiboost.object_library import ObjectLibrary
+from artiboost_tpu.artiboost.pose_generator import GeneratedPoses, decode_final_hand
+from artiboost_tpu.artiboost.renderer import (
+    RenderAssets,
+    _color_jitter,
+    _gaussian_blur,
+    compose_scene,
+    render_scene,
+)
+from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
+from artiboost_tpu.mano.model import ManoModel
+from artiboost_tpu.utils.misc import CONST
+from artiboost_tpu.utils.transform import batch_persp_proj2d, get_affine_trans_no_rot
+
+
+class SynthConfig(NamedTuple):
+    image_size: int = 224
+    raw_size: int = 512
+    fx: float = 435.0
+    fy: float = 435.0
+    cx: float = 256.0
+    cy: float = 256.0
+    bbox_expand_ratio: float = 1.2
+    crop_model: str = "root_obj"
+    center_idx: int = 0
+    aug: bool = True
+    center_jit: float = 0.1
+    scale_jit: float = 0.1
+    max_rot: float = 0.2
+    blur_max_sigma: float = 1.0
+
+
+def _annot_center_scale(pts2d: jnp.ndarray):
+    """(B, N, 2) -> center (B, 2), scale (B,) (parity HOdata helpers)."""
+    lo = jnp.min(pts2d, axis=1)
+    hi = jnp.max(pts2d, axis=1)
+    center = (lo + hi) / 2.0
+    scale = jnp.max(hi - lo, axis=1)
+    return center, scale
+
+
+def make_synth_batch_fn(
+    mano_model: ManoModel,
+    obj_lib: ObjectLibrary,
+    assets: RenderAssets,
+    cfg: SynthConfig,
+):
+    """-> fn(key, gen: GeneratedPoses, idx (B,)) -> sample dict batch."""
+
+    H = W = cfg.image_size
+    raw_intr = jnp.asarray([
+        [cfg.fx, 0.0, cfg.cx],
+        [0.0, cfg.fy, cfg.cy],
+        [0.0, 0.0, 1.0],
+    ])
+
+    def synth_batch(key: jax.Array, gen: GeneratedPoses, idx: jnp.ndarray) -> Dict:
+        B = idx.shape[0]
+        keys = jax.random.split(key, 8)
+
+        # ---- decode final hand + object geometry ----
+        hand = decode_final_hand(mano_model, gen, idx)
+        joints_3d = hand["joints"]                 # (B, 21, 3)
+        hand_verts = hand["hand_verts"]
+        oid = gen.obj_id[idx]
+        vid = gen.persp_id[idx]
+        gid = gen.grasp_id[idx]
+        obj_pose = gen.obj_pose[idx]               # (B, 4, 4)
+        corners_can = obj_lib.corners_can[oid]
+        corners_3d = (
+            jnp.einsum("bij,bnj->bni", obj_pose[:, :3, :3], corners_can)
+            + obj_pose[:, None, :3, 3]
+        )
+
+        intr_b = jnp.broadcast_to(raw_intr[None], (B, 3, 3))
+        joints_2d_raw = batch_persp_proj2d(joints_3d, intr_b)
+        corners_2d_raw = batch_persp_proj2d(corners_3d, intr_b)
+
+        # ---- crop (rendered_dataset :276-304) ----
+        if cfg.crop_model == "hand":
+            crop_pts = joints_2d_raw
+        elif cfg.crop_model == "root_obj":
+            crop_pts = jnp.concatenate([joints_2d_raw[:, :1], corners_2d_raw], axis=1)
+        else:  # hand_obj
+            crop_pts = jnp.concatenate([joints_2d_raw, corners_2d_raw], axis=1)
+        bbox_center, bbox_scale = _annot_center_scale(crop_pts)
+        bbox_scale = bbox_scale * cfg.bbox_expand_ratio
+
+        rot_rad = jnp.zeros((B,))
+        if cfg.aug:
+            cjit = (jax.random.uniform(keys[0], (B, 2)) * 2.0 - 1.0)
+            bbox_center = bbox_center + cfg.center_jit * bbox_scale[:, None] * cjit
+            sjit = jnp.clip(
+                jax.random.normal(keys[1], (B,)) * (cfg.scale_jit / 3.0) + 1.0,
+                1.0 - cfg.scale_jit, 1.0 + cfg.scale_jit)
+            bbox_scale = bbox_scale * sjit
+            rot_rad = jax.random.uniform(keys[2], (B,), minval=-cfg.max_rot,
+                                         maxval=cfg.max_rot)
+
+        # in-plane rotation about the optical axis = rotate the scene
+        c, s = jnp.cos(rot_rad), jnp.sin(rot_rad)
+        zero, one = jnp.zeros_like(c), jnp.ones_like(c)
+        rot_mat = jnp.stack([
+            jnp.stack([c, -s, zero], -1),
+            jnp.stack([s, c, zero], -1),
+            jnp.stack([zero, zero, one], -1),
+        ], -2)  # (B, 3, 3)
+
+        # rotated crop center (reference get_affine_transform semantics):
+        # center moves with the scene rotation about the optical center
+        oc = jnp.asarray([cfg.cx, cfg.cy])
+        cen = bbox_center - oc
+        cen_rot = jnp.stack([
+            c * cen[:, 0] - s * cen[:, 1],
+            s * cen[:, 0] + c * cen[:, 1],
+        ], -1) + oc
+        post_rot = get_affine_trans_no_rot(cen_rot, bbox_scale, (W, H))  # (B, 3, 3)
+        new_intr = post_rot @ intr_b  # (B, 3, 3)
+
+        # ---- rotate geometry, render directly at the crop ----
+        joints_3d_r = jnp.einsum("bij,bnj->bni", rot_mat, joints_3d)
+        corners_3d_r = jnp.einsum("bij,bnj->bni", rot_mat, corners_3d)
+        hand_verts_r = jnp.einsum("bij,bnj->bni", rot_mat, hand_verts)
+        obj_pose_r = obj_pose.at[:, :3].set(rot_mat @ obj_pose[:, :3])
+
+        tex_id = jax.random.randint(keys[3], (B,), 0, assets.hand_color_bank.shape[0])
+        hand_colors = assets.hand_color_bank[tex_id]
+        verts, colors, faces, fvalid = compose_scene(
+            hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid, obj_pose_r)
+        img, depth = render_scene(
+            verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W)
+
+        if cfg.aug:
+            sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma
+            img = _gaussian_blur(img, sigma)
+            img = _color_jitter(img, keys[6])
+
+        # ---- 2d keypoints in crop coords ----
+        # with render-at-crop, crop-space 2d == projection with new_intr
+        joints_2d = batch_persp_proj2d(joints_3d_r, new_intr)
+        corners_2d = batch_persp_proj2d(corners_3d_r, new_intr)
+
+        # ---- visibility (>= 40% rules, rendered_dataset :215-245) ----
+        def vis_rule(pts_raw, pts_crop, n, thresh):
+            in_raw = (
+                (pts_raw[..., 0] >= 0) & (pts_raw[..., 0] < cfg.raw_size)
+                & (pts_raw[..., 1] >= 0) & (pts_raw[..., 1] < cfg.raw_size)
+            ).astype(jnp.float32)
+            in_crop = (
+                (pts_crop[..., 0] >= 0) & (pts_crop[..., 0] < W)
+                & (pts_crop[..., 1] >= 0) & (pts_crop[..., 1] < H)
+            ).astype(jnp.float32)
+            raw_ok = jnp.sum(in_raw, axis=1, keepdims=True) >= n * thresh
+            crop_ok = jnp.sum(in_crop, axis=1, keepdims=True) >= n * thresh
+            return jnp.where(raw_ok & crop_ok, in_crop, 0.0)
+
+        joints_vis = vis_rule(joints_2d_raw, joints_2d, CONST.NUM_JOINTS, 0.4)
+        corners_vis = vis_rule(corners_2d_raw, corners_2d, CONST.NUM_CORNERS, 0.4)
+
+        root_joint = joints_3d_r[:, cfg.center_idx]
+
+        return {
+            Queries.IMAGE: img - 0.5,  # normalize mean .5, std 1
+            Queries.CAM_INTR: new_intr,
+            Queries.JOINTS_3D: joints_3d_r - root_joint[:, None],
+            Queries.JOINTS_2D: joints_2d,
+            Queries.ROOT_JOINT: root_joint,
+            Queries.JOINTS_VIS: joints_vis,
+            Queries.CORNERS_3D: corners_3d_r - root_joint[:, None],
+            Queries.CORNERS_2D: corners_2d,
+            Queries.CORNERS_CAN: corners_can,
+            Queries.CORNERS_VIS: corners_vis,
+            Queries.OBJ_TRANSF: obj_pose_r,
+            Queries.OBJ_IDX: oid + 1,  # YCB-style 1-based object index
+            Queries.OBJ_VERTS_CAN: obj_lib.verts[oid],
+            Queries.PADDING_MASK: obj_lib.vert_valid[oid],
+            Queries.SAMPLE_IDX: idx,
+            Queries.HAND_VERTS_3D: hand_verts_r - root_joint[:, None],
+            SynthQueries.IS_SYNTH: jnp.ones((B,), jnp.int32),
+            SynthQueries.OBJ_ID: oid,
+            SynthQueries.PERSP_ID: vid,
+            SynthQueries.GRASP_ID: gid,
+        }
+
+    return synth_batch

@@ -142,7 +142,7 @@ def rasterize_batch_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background."""
     B, V, _ = verts_screen.shape
-    F = faces.shape[0]
+    F = faces.shape[-2]
     assert vert_attrs.shape[-1] == 3, "pallas path is specialized to rgb"
     n_chunks = (F + LANE - 1) // LANE
     n_pix = height * width
@@ -151,7 +151,8 @@ def rasterize_batch_pallas(
     if face_valid is None:
         face_valid = jnp.ones((B, F), jnp.float32)
 
-    sf = jax.vmap(build_screen_faces, in_axes=(0, 0, None, 0))(
+    faces_axis = 0 if faces.ndim == 3 else None  # per-sample topology OK
+    sf = jax.vmap(build_screen_faces, in_axes=(0, 0, faces_axis, 0))(
         verts_screen, vert_attrs, faces, face_valid
     )
 
