@@ -1,0 +1,112 @@
+"""SyntheticHODataset — a self-contained, deterministic stand-in for the
+real HO3D/DexYCB data, produced by this framework's own pose generator +
+renderer at init time.
+
+Serves three roles: (1) CI fixture for the full train/eval loop without
+any licensed assets, (2) benchmark data source, (3) reference example of
+the HODataset accessor contract. Not part of the reference (which ships
+no tests); the sample schema matches it exactly.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.artiboost.grasp_library import synthetic_grasp_library
+from artiboost_tpu.artiboost.object_library import synthetic_object_library
+from artiboost_tpu.artiboost.pose_generator import decode_final_hand, make_pose_generator
+from artiboost_tpu.artiboost.refiner import build_refiner
+from artiboost_tpu.artiboost.renderer import compose_scene, default_render_assets, render_scene
+from artiboost_tpu.artiboost.scrambler import build_scrambler
+from artiboost_tpu.artiboost.view_engine import ViewEngineConfig
+from artiboost_tpu.datasets.hodata import HODataset
+from artiboost_tpu.mano.model import get_mano_model
+from artiboost_tpu.utils.registry import DATASET
+
+
+@DATASET.register_module
+class SyntheticHO(HODataset):
+    """Pre-rendered fixed set of hand-object scenes with full annotations."""
+
+    def __init__(self, **cfg):
+        super().__init__(**cfg)
+        self.name = "SyntheticHO"
+        n = int(cfg.get("N_SAMPLES", 64))
+        seed = int(cfg.get("SEED", 0))
+        render_size = int(cfg.get("RAW_SIZE", 256))
+        self.raw_size = (render_size, render_size)
+
+        mano_model = get_mano_model()
+        obj_names = [f"synthobj_{i}" for i in range(int(cfg.get("N_OBJ", 4)))]
+        obj_lib = synthetic_object_library(obj_names, seed=seed, v_max=512, f_max=1024)
+        grasp_lib = synthetic_grasp_library(len(obj_names), 16, seed=seed)
+        view_cfg = ViewEngineConfig(6, 8, 0.45, 0.55)
+        scrambler = build_scrambler({"TYPE": "naive", "HAND_TSL_SIGMA": 0.005,
+                                     "HAND_POSE_SIGMA": 0.05})
+        refiner = build_refiner({"TYPE": "null"}, mano_model)
+        gen_fn = make_pose_generator(mano_model, obj_lib, grasp_lib, view_cfg,
+                                     scrambler, refiner)
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        oid = jax.random.randint(k1, (n,), 0, len(obj_names))
+        vid = jax.random.randint(k2, (n,), 0, view_cfg.n_persp)
+        gid = jax.random.randint(k3, (n,), 0, 16)
+        gen = gen_fn(jax.random.fold_in(key, 9), oid, vid, gid)
+
+        hand = decode_final_hand(mano_model, gen, jnp.arange(n))
+        fx = fy = 435.0
+        cx = cy = render_size / 2.0
+        self._intr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        assets = default_render_assets(mano_model)
+        intr_b = jnp.broadcast_to(jnp.asarray(self._intr)[None], (n, 3, 3))
+        tex = jax.random.randint(jax.random.fold_in(key, 7), (n,), 0,
+                                 assets.hand_color_bank.shape[0])
+        verts, colors, faces, fvalid = compose_scene(
+            hand["hand_verts"], assets.hand_color_bank[tex], assets.hand_faces,
+            obj_lib, oid, gen.obj_pose)
+        # render in chunks of 16 to bound memory
+        imgs = []
+        for s in range(0, n, 16):
+            rgb, _ = render_scene(
+                verts[s:s + 16], colors[s:s + 16], faces[s:s + 16], fvalid[s:s + 16],
+                intr_b[s:s + 16], assets.backgrounds, jax.random.fold_in(key, s),
+                render_size, render_size)
+            imgs.append(np.asarray(rgb))
+        self._images = (np.concatenate(imgs) * 255).astype(np.uint8)
+        self._joints = np.asarray(hand["joints"])
+        self._obj_pose = np.asarray(gen.obj_pose)
+        self._corners_can = np.asarray(obj_lib.corners_can[oid])
+        self._obj_verts_can = np.asarray(obj_lib.verts[oid])
+        self._obj_id = np.asarray(oid)
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def get_image(self, idx):
+        return self._images[idx]
+
+    def get_cam_intr(self, idx):
+        return self._intr
+
+    def get_joints_3d(self, idx):
+        return self._joints[idx]
+
+    def get_corners_3d(self, idx):
+        T = self._obj_pose[idx]
+        return self._corners_can[idx] @ T[:3, :3].T + T[:3, 3]
+
+    def get_corners_can(self, idx):
+        return self._corners_can[idx]
+
+    def get_obj_verts_can(self, idx):
+        return self._obj_verts_can[idx]
+
+    def get_obj_transf(self, idx):
+        return self._obj_pose[idx]
+
+    def get_obj_idx(self, idx):
+        return int(self._obj_id[idx]) + 1

@@ -1,0 +1,110 @@
+"""Evaluation / Codalab-submission epoch pass.
+
+Parity: ``anakin/submit/submit_epoch_pass.py`` +
+``hodata_submit_epoch_pass.py`` — run the test split through the model,
+feed the evaluator, and optionally dump HO3D-Codalab JSON (joint
+reorder + axis flips, :129-156) zipped for upload, with optional MANO
+mesh fitting and debug rendering.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import zipfile
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.logger import logger
+from artiboost_tpu.utils.transform import MANO_TO_OPENPOSE_ORDER
+
+
+class SubmitEpochPass:
+    build_mapping = {}
+
+    @staticmethod
+    def build(cata: str, **cfg) -> "SubmitEpochPass":
+        return SubmitEpochPass.build_mapping[cata](**cfg)
+
+    @classmethod
+    def register(cls, key):
+        def deco(sub):
+            cls.build_mapping[key] = sub
+            return sub
+        return deco
+
+
+@SubmitEpochPass.register("hodata")
+class HOSubmitEpochPass(SubmitEpochPass):
+    def __init__(self, arg=None, fitting_unit=None, **cfg):
+        self.dump = bool(getattr(arg, "submit_dump", False)) if arg else cfg.get("DUMP", False)
+        self.fit_mesh = bool(getattr(arg, "postprocess_fit_mesh", False)) if arg \
+            else cfg.get("FIT_MESH", False)
+        self.fit_mesh_use_fitted_joints = bool(
+            getattr(arg, "postprocess_fit_mesh_use_fitted_joints", False)) if arg else False
+        self.fitting_unit = fitting_unit
+
+    @staticmethod
+    def get_order_idxs():
+        reorder_idxs = list(MANO_TO_OPENPOSE_ORDER)
+        unorder_idxs = np.argsort(reorder_idxs)
+        return reorder_idxs, unorder_idxs
+
+    def dump_json(self, pred_out_path: str, xyz_pred_list: List[np.ndarray],
+                  verts_pred_list: List[np.ndarray], codalab: bool = True):
+        """HO3D official format: json [joints[], verts[]] zipped."""
+
+        def roundall(rows):
+            return [[round(float(v), 5) for v in row] for row in rows]
+
+        xyz = [roundall(np.asarray(x).tolist()) for x in xyz_pred_list]
+        verts = [roundall(np.asarray(v).tolist()) for v in verts_pred_list]
+        with open(pred_out_path, "w") as fo:
+            json.dump([xyz, verts], fo)
+        logger.info(f"dumped {len(xyz)} joints / {len(verts)} verts to {pred_out_path}")
+        if codalab:
+            zipped = pred_out_path.replace(".json", ".zip")
+            with zipfile.ZipFile(zipped, "w", zipfile.ZIP_DEFLATED) as zf:
+                zf.write(pred_out_path, os.path.basename(pred_out_path))
+            logger.warning(f"finished — submit {zipped} to Codalab for evaluation")
+
+    def __call__(self, epoch_idx: int, eval_step, state, data_loader, evaluator,
+                 dump_path: Optional[str] = None, rng: Optional[jax.Array] = None):
+        """Run eval; collect Codalab-ordered joints/verts if dumping."""
+        _, unorder_idxs = self.get_order_idxs()
+        res_joints: List[np.ndarray] = []
+        res_verts: List[np.ndarray] = []
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        for batch in data_loader:
+            rng, sub = jax.random.split(rng)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, (str, list))}
+            preds, losses = eval_step(state, batch, sub)
+            evaluator.feed_all(preds, batch, losses)
+
+            if self.dump or self.fit_mesh:
+                pred_joints = np.asarray(preds["joints_3d_abs"])
+                fitted_verts = None
+                if self.fit_mesh and self.fitting_unit is not None:
+                    fitted = self.fitting_unit(pred_joints, batch)
+                    fitted_verts = np.asarray(fitted["hand_verts"])
+                    if self.fit_mesh_use_fitted_joints:
+                        pred_joints = np.asarray(fitted["joints"])
+                # HO3D Codalab convention: MANO-native joint order, y/z flip
+                pj = pred_joints[:, unorder_idxs]
+                pj[:, :, 0] = -pj[:, :, 0]
+                res_joints.extend([-p for p in pj])
+                if fitted_verts is not None:
+                    fv = fitted_verts.copy()
+                    fv[:, :, 0] = -fv[:, :, 0]
+                    res_verts.extend([-v for v in fv])
+                else:
+                    res_verts.extend([np.zeros((778, 3))] * pj.shape[0])
+
+        if self.dump and dump_path:
+            self.dump_json(dump_path, res_joints, res_verts, codalab=True)
+        return evaluator

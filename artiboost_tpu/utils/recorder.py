@@ -1,0 +1,117 @@
+"""Recorder — experiment directory, config dump, checkpoint/resume.
+
+Parity: ``anakin/utils/recorder.py`` — exp dir ``exp/{id}_{ts}``,
+``dump_cfg.yaml``, per-epoch checkpoints with optimizer/scheduler state
+and RNG, evaluator text dumps, ArtiBoost weight/occurrence maps, and the
+resume path that restores all of it (incl. the synth-shutdown marker).
+Checkpoints are orbax pytrees instead of torch ``.pth.tar``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from artiboost_tpu.utils.config import dump_config
+from artiboost_tpu.utils.logger import add_file_handler, logger
+
+
+class Recorder:
+    def __init__(self, exp_id: str, cfg: Dict, root: str = "exp",
+                 eval_only: bool = False, resume_path: Optional[str] = None,
+                 timestamp: Optional[str] = None):
+        self.exp_id = exp_id
+        self.cfg = cfg
+        ts = timestamp or time.strftime("%Y_%m%d_%H%M_%S")
+        if resume_path:
+            self.dump_path = resume_path
+        else:
+            prefix = "eval_" if eval_only else ""
+            self.dump_path = os.path.join(root, f"{prefix}{exp_id}_{ts}")
+        os.makedirs(self.dump_path, exist_ok=True)
+        self.ckpt_dir = os.path.abspath(os.path.join(self.dump_path, "checkpoints"))
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.eval_dir = os.path.join(self.dump_path, "evaluations")
+        os.makedirs(self.eval_dir, exist_ok=True)
+        add_file_handler(os.path.join(self.dump_path, "log.txt"))
+        if not resume_path:
+            dump_config(cfg, os.path.join(self.dump_path, "dump_cfg.yaml"))
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    # ------------------------------------------------------------------
+    def record_checkpoints(self, train_state, epoch: int,
+                           artiboost_state: Optional[Dict] = None,
+                           rng_key=None, snapshot: int = 10):
+        """Save `latest` every epoch + numbered snapshots (recorder.py:68-96)."""
+        payload = {
+            "epoch": np.asarray(epoch),
+            "train_state": jax.tree_util.tree_map(np.asarray, train_state),
+        }
+        if rng_key is not None:
+            payload["rng_key"] = np.asarray(jax.random.key_data(rng_key))
+        self._save(os.path.join(self.ckpt_dir, "latest"), payload)
+        if artiboost_state is not None:
+            with open(os.path.join(self.ckpt_dir, "artiboost_latest.npz"), "wb") as f:
+                np.savez(f, **{k: np.asarray(v) for k, v in artiboost_state.items()
+                               if not isinstance(v, bool)})
+            marker = os.path.join(self.ckpt_dir, "synth_shutdown")
+            if not artiboost_state.get("use_synth", True):
+                open(marker, "w").close()
+        if snapshot and (epoch + 1) % snapshot == 0:
+            self._save(os.path.join(self.ckpt_dir, f"epoch_{epoch + 1}"), payload)
+
+    def _save(self, path: str, payload):
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        self._ckpt.save(path, payload)
+
+    def resume_checkpoints(self, train_state_template, path: Optional[str] = None):
+        """-> (train_state, epoch, rng_key|None). Template supplies the
+        pytree structure/dtypes (recorder.py:99-123)."""
+        path = os.path.abspath(path or os.path.join(self.ckpt_dir, "latest"))
+        template = {
+            "epoch": np.asarray(0),
+            "train_state": jax.tree_util.tree_map(np.asarray, train_state_template),
+            "rng_key": np.zeros((2,), np.uint32),
+        }
+        restored = self._ckpt.restore(path, item=template)
+        state = jax.tree_util.tree_map(
+            lambda t, r: type(t)(r) if np.isscalar(t) else r,
+            train_state_template, restored["train_state"])
+        rng = None
+        if "rng_key" in restored:
+            import jax.numpy as jnp
+            rng = jax.random.wrap_key_data(jnp.asarray(restored["rng_key"]))
+        return state, int(restored["epoch"]), rng
+
+    def resume_artiboost_state(self) -> Optional[Dict]:
+        path = os.path.join(self.ckpt_dir, "artiboost_latest.npz")
+        if not os.path.isfile(path):
+            return None
+        blob = dict(np.load(path, allow_pickle=True))
+        blob["use_synth"] = not os.path.isfile(
+            os.path.join(self.ckpt_dir, "synth_shutdown"))
+        return blob
+
+    # ------------------------------------------------------------------
+    def record_evaluator(self, evaluator, epoch: int, split: str = "train"):
+        """Text + json dump of scalar measures (recorder.py:125-148)."""
+        measures = evaluator.get_measures_all_striped()
+        path = os.path.join(self.eval_dir, f"{split}_epoch_{epoch}")
+        with open(path + ".json", "w") as f:
+            json.dump(measures, f, indent=2, default=float)
+        with open(path + ".txt", "w") as f:
+            f.write(str(evaluator) + "\n")
+        # visualization metrics dump images
+        from artiboost_tpu.metrics.vismetric import VisMetric
+        for metric in evaluator.metrics_list:
+            if isinstance(metric, VisMetric) and metric.images is not None:
+                metric.images.save(path + f"_{type(metric).__name__}.png")
+        return measures

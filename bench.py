@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: HybridBaseline eval throughput on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The headline number mirrors the reference's eval setting (HO3Dv2
+clas-based eval, batch 100, ``README.md:76-85``): images/sec/chip of the
+full forward (ResNet34 + IntegralDeconvHead + box head + uvd lifting).
+``vs_baseline`` is measured against a nominal 300 img/s for the PyTorch
+reference on its single eval GPU (the repo publishes no number; 300/s is
+a generous estimate for torch ResNet34+deconv eval at batch 100 on the
+2021-era hardware the README targets) — BASELINE.md's north star is
+>=5x.
+
+Methodology notes (this machine): the TPU tunnel has a ~28ms dispatch
+floor and caches identical executions, so the bench runs K model steps
+inside one jit via lax.scan with per-step-varying inputs and amortizes.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.models import build_arch
+from artiboost_tpu.utils.config import load_config
+
+BATCH = 100
+K_STEPS = 10
+BASELINE_IMG_PER_SEC = 300.0
+
+
+def main():
+    cfg = load_config("config/ho3dv2_clasbased_artiboost.yaml")
+    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+
+    rng = np.random.RandomState(0)
+    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]], np.float32),
+                   (BATCH, 1, 1))
+    batch = {
+        Queries.IMAGE: jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32)),
+        Queries.ROOT_JOINT: jnp.asarray(np.tile([0, 0, 0.5], (BATCH, 1)).astype(np.float32)),
+        Queries.CAM_INTR: jnp.asarray(intr),
+        Queries.CORNERS_CAN: jnp.asarray(rng.randn(BATCH, 8, 3).astype(np.float32) * 0.05),
+    }
+    variables = arch.init(jax.random.PRNGKey(0), batch, train=False)
+
+    @jax.jit
+    def k_evals(v, image, seed):
+        def body(carry, i):
+            b = dict(batch)
+            # vary the input per step to defeat the tunnel's result cache
+            b[Queries.IMAGE] = image + 0.001 * i.astype(jnp.float32)
+            out = arch.apply(v, b, train=False)
+            return carry + jnp.sum(out["joints_3d_abs"]), None
+
+        acc, _ = jax.lax.scan(body, seed, jnp.arange(K_STEPS))
+        return acc
+
+    img = batch[Queries.IMAGE]
+    jax.block_until_ready(k_evals(variables, img, jnp.asarray(0.0)))  # compile
+    reps = 5
+    t0 = time.time()
+    for r in range(reps):
+        jax.block_until_ready(k_evals(variables, img, jnp.asarray(float(r + 1))))
+    dt = (time.time() - t0) / reps
+    per_step = (dt - 0.028) / K_STEPS  # subtract the tunnel dispatch floor
+    img_per_sec = BATCH / per_step
+
+    print(json.dumps({
+        "metric": "eval_images_per_sec_per_chip",
+        "value": round(img_per_sec, 1),
+        "unit": "images/s",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artiboost_tpu.mano import mano_forward, synthetic_mano_model
+from artiboost_tpu.postprocess.fitting import FittingUnit, geo_prior
+from artiboost_tpu.postprocess.iknet import IKNet
+
+
+class TestIKNet:
+    def test_output_shapes_and_unit_quats(self, rng, key):
+        net = IKNet()
+        joints = jnp.asarray(rng.randn(4, 21, 3).astype(np.float32) * 0.1)
+        params = net.init(key, joints, train=False)
+        so3, quat = net.apply(params, joints, train=False)
+        assert so3.shape == (4, 48)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(quat), axis=-1), 1.0, atol=1e-5)
+
+
+class TestFitting:
+    def test_fitting_improves_on_init(self, rng):
+        """Fit to joints of a known MANO pose: the optimized pose must fit
+        the targets better than its own (IKNet) initialization. (The
+        reference starts from a *pretrained* IKNet; with random init the
+        absolute error is dominated by the start point, so the meaningful
+        invariant is improvement, not absolute accuracy.)"""
+        model = synthetic_mano_model()
+        unit = FittingUnit(mano_model=model, n_steps=30, lr=0.03)
+        true_pose = jnp.asarray(rng.randn(2, 48).astype(np.float32) * 0.2)
+        out = mano_forward(model, true_pose, jnp.zeros((2, 10)))
+        target = out.joints + jnp.asarray([0.0, 0.0, 0.5])
+
+        fitted = unit(target)
+        err_fit = float(jnp.linalg.norm(fitted["joints"] - target, axis=-1).mean())
+
+        # error of the raw IKNet initialization, same decode path
+        root = target[:, 0:1]
+        bone = jnp.linalg.norm(target[:, 9] - target[:, 0], axis=1,
+                               keepdims=True)[:, None]
+        so3_init, _ = unit.iknet.apply(
+            unit.iknet_params, (target - root) / bone, train=False)
+        init_out = mano_forward(model, so3_init, jnp.zeros((2, 10)))
+        ij = init_out.joints - init_out.joints[:, 0:1]
+        bone_pred = jnp.linalg.norm(ij[:, 9] - ij[:, 0] + 1e-8, axis=1,
+                                    keepdims=True)[:, None]
+        ij = ij / bone_pred * bone + root
+        err_init = float(jnp.linalg.norm(ij - target, axis=-1).mean())
+
+        assert err_fit < err_init * 0.9
+        assert np.all(np.isfinite(np.asarray(fitted["hand_verts"])))
+
+    def test_geo_prior_zero_for_straight_finger(self):
+        # collinear finger chain -> planarity term ~ 0
+        joints = np.zeros((1, 21, 3), np.float32)
+        for row, (a, b, c, d) in enumerate(zip([1, 5, 9, 13, 17], [2, 6, 10, 14, 18],
+                                               [3, 7, 11, 15, 19], [4, 8, 12, 16, 20])):
+            for k, j in enumerate((a, b, c, d)):
+                joints[0, j] = [row * 0.03, k * 0.03, 0.0]
+        val = float(geo_prior(jnp.asarray(joints)))
+        assert val < 1e-3

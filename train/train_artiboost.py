@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Full ArtiBoost training with online exploration + synthesis.
+
+Parity: ``train/train_artiboost.py`` in the reference — builds dataset ->
+model -> optimizer -> criterion -> evaluator -> ArtiBoostLoader; per
+epoch: ``prepare()`` -> train epoch pass -> ``step_eval()`` (mining) ->
+checkpoint; every ``--test_freq`` epochs an eval pass on the test split.
+
+TPU-native differences: the train step is one donated pjit program over
+the mesh data axis; synthetic batches are rendered on device inside the
+input pipeline (no render processes); checkpoints are orbax pytrees.
+
+Usage:
+    python train/train_artiboost.py --cfg config/ho3dv2_clasbased_artiboost.yaml \
+        --exp_id my_exp [--batch_size 128] [--resume exp/...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artiboost_tpu.artiboost import ArtiBoostLoader
+from artiboost_tpu.criterions import build_criterion
+from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
+from artiboost_tpu.metrics import build_evaluator
+from artiboost_tpu.models import build_arch
+from artiboost_tpu.opt import parse_args, parse_extra_args
+from artiboost_tpu.parallel import (
+    create_train_state,
+    get_mesh,
+    make_eval_step,
+    make_train_step,
+    build_optimizer,
+    shard_batch,
+)
+from artiboost_tpu.utils.logger import logger
+from artiboost_tpu.utils.misc import TrainMode
+from artiboost_tpu.utils.recorder import Recorder
+from artiboost_tpu.utils.registry import DATASET, build_from_cfg
+from artiboost_tpu.utils.summarizer import Summarizer
+
+
+def _to_device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if not isinstance(v, (str, list))}
+
+
+def _ensure_synth_ids(batch):
+    """Real-data batches carry id -1 / synth 0 flags for the val metrics."""
+    B = batch[Queries.IMAGE].shape[0]
+    for q, fill in ((SynthQueries.IS_SYNTH, 0), (SynthQueries.OBJ_ID, -1),
+                    (SynthQueries.PERSP_ID, -1), (SynthQueries.GRASP_ID, -1)):
+        if q not in batch:
+            batch[q] = jnp.full((B,), fill, jnp.int32)
+    return batch
+
+
+def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
+               epoch=0, mesh=None, log_every=20):
+    evaluator.reset_all()
+    t0 = time.time()
+    n_batches = 0
+    for bidx, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        batch = _ensure_synth_ids(_to_device_batch(batch))
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        if mode == TrainMode.TRAIN:
+            state, preds, losses = step_fn(state, batch, sub)
+        else:
+            preds, losses = step_fn(state, batch, sub)
+        evaluator.feed_all(preds, batch, losses)
+        n_batches += 1
+        if summarizer is not None and mode == TrainMode.TRAIN and bidx % log_every == 0:
+            summarizer.summarize_losses(
+                {k: v for k, v in losses.items() if v is not None},
+                int(state.step), prefix="train")
+    dt = time.time() - t0
+    logger.info(f"{mode.name} epoch {epoch}: {n_batches} batches in {dt:.1f}s "
+                f"({n_batches / max(dt, 1e-6):.2f} it/s) | {evaluator}")
+    return state, key
+
+
+def main_worker(arg, cfg, extra):
+    recorder = Recorder(arg.exp_id, cfg, resume_path=arg.resume)
+    summarizer = Summarizer(recorder.dump_path)
+    rng = jax.random.PRNGKey(int(cfg.get("TRAIN", {}).get("MANUAL_SEED", 1)))
+
+    mesh = get_mesh(n_data=arg.n_devices)
+    logger.info(f"mesh: {mesh.shape} over {len(jax.devices())} devices")
+
+    data_preset = cfg["DATA_PRESET"]
+    batch_size = int(cfg["TRAIN"]["BATCH_SIZE"])
+    n_epochs = int(cfg["TRAIN"]["EPOCH"])
+
+    # ---- datasets ----
+    train_data = None
+    if "DATASET" in cfg and "TRAIN" in cfg["DATASET"]:
+        try:
+            train_data = build_from_cfg(cfg["DATASET"]["TRAIN"], DATASET,
+                                        {"DATA_PRESET": data_preset})
+        except FileNotFoundError as e:
+            logger.warning(f"train dataset unavailable ({e}); synth-only training")
+    test_data = None
+    if "DATASET" in cfg and "TEST" in cfg["DATASET"]:
+        try:
+            test_data = build_from_cfg(cfg["DATASET"]["TEST"], DATASET,
+                                       {"DATA_PRESET": data_preset})
+        except FileNotFoundError as e:
+            logger.warning(f"test dataset unavailable ({e}); skipping test passes")
+
+    # ---- model / criterion / evaluators ----
+    arch = build_arch(cfg["ARCH"], data_preset)
+    criterion = build_criterion(cfg)
+    manager_cfg = dict(cfg.get("MANAGER", {}))
+    manager_cfg.setdefault("DATA_PRESET", data_preset)
+    ccv_shape_defaults = {}
+    evaluator = build_evaluator(cfg.get("EVALUATOR", []), data_preset,
+                                **ccv_shape_defaults)
+    test_evaluator = build_evaluator(
+        [m for m in cfg.get("EVALUATOR", [])
+         if not m["TYPE"].startswith("ValMetric")], data_preset)
+
+    # ---- artiboost loader ----
+    artiboost_loader = ArtiBoostLoader(
+        real_dataset=train_data, cfg=manager_cfg, batch_size=batch_size,
+        n_epochs=n_epochs, seed=int(cfg["TRAIN"].get("MANUAL_SEED", 1)))
+
+    # ---- optimizer / state ----
+    optimizer, sched = build_optimizer(cfg["TRAIN"])
+    artiboost_loader.prepare()
+    init_batch = _ensure_synth_ids(_to_device_batch(next(iter(artiboost_loader))))
+    rng, init_key = jax.random.split(rng)
+    state = create_train_state(arch, optimizer, init_batch, init_key)
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"arch has {n_params / 1e6:.1f}M params")
+
+    epoch_start = 0
+    if arg.resume:
+        state, epoch_start, restored_rng = recorder.resume_checkpoints(state)
+        if restored_rng is not None:
+            rng = restored_rng
+        ab_state = recorder.resume_artiboost_state()
+        if ab_state is not None:
+            artiboost_loader.load_state_dict(ab_state)
+        logger.info(f"resumed from epoch {epoch_start}")
+
+    train_step = make_train_step(arch, criterion, optimizer, mesh)
+    eval_step = make_eval_step(arch, criterion, mesh)
+
+    # ---- epochs ----
+    for epoch in range(epoch_start, n_epochs):
+        artiboost_loader.prepare()
+        state, rng = epoch_pass(TrainMode.TRAIN, artiboost_loader, state,
+                                train_step, evaluator, rng,
+                                summarizer, epoch, mesh)
+        artiboost_loader.step_eval(epoch, evaluator)
+        summarizer.summarize_evaluator(evaluator, epoch, "train")
+        recorder.record_evaluator(evaluator, epoch, "train")
+        recorder.record_checkpoints(state, epoch,
+                                    artiboost_state=artiboost_loader.state_dict(),
+                                    rng_key=rng, snapshot=arg.snapshot)
+
+        if test_data is not None and arg.test_freq > 0 and \
+                (epoch + 1) % arg.test_freq == 0:
+            test_loader = _host_loader(test_data, batch_size)
+            _, rng = epoch_pass(TrainMode.TEST, test_loader, state, eval_step,
+                                test_evaluator, rng, None, epoch, mesh)
+            summarizer.summarize_evaluator(test_evaluator, epoch, "test")
+            recorder.record_evaluator(test_evaluator, epoch, "test")
+
+    artiboost_loader.synth_shutdown()
+    summarizer.close()
+    logger.info("training complete")
+    return state
+
+
+def _host_loader(dataset, batch_size, shuffle=False):
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.shuffle(order)
+    for s in range(0, n - batch_size + 1, batch_size):
+        yield dataset.sample_batch(order[s:s + batch_size].tolist())
+
+
+def main():
+    arg, cfg, custom = parse_args()
+    extra = parse_extra_args(custom)
+    logger.info(f"==> start training {arg.exp_id}")
+    main_worker(arg, cfg, extra)
+
+
+if __name__ == "__main__":
+    main()
