@@ -61,12 +61,12 @@ def synthetic_hand_color_bank(n_tex: int = 8, seed: int = 0) -> jnp.ndarray:
     return jnp.asarray(np.stack(bank))
 
 
-def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8
-                          ) -> RenderAssets:
+def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8,
+                          bg_size: int = 336) -> RenderAssets:
     return RenderAssets(
         hand_faces=mano_model.faces,
         hand_color_bank=synthetic_hand_color_bank(n_tex),
-        backgrounds=synthetic_backgrounds(n_bg),
+        backgrounds=synthetic_backgrounds(n_bg, size=bg_size),
     )
 
 

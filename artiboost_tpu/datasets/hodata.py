@@ -195,7 +195,9 @@ class HODataset(ABC):
         return out
 
     # ---- the pipeline ----
-    def __getitem__(self, idx) -> Dict:
+    def _make_geom(self, idx) -> Dict:
+        """Everything except pixel work: annotations, crop affine, aug
+        parameter draws. Shared by the python and native image paths."""
         idx = int(self.get_sample_idxs()[idx])
         sample: Dict = {
             SynthQueries.IS_SYNTH: 0,
@@ -208,7 +210,6 @@ class HODataset(ABC):
         bbox_center, bbox_scale = self.get_center_scale_wrt_bbox(idx)
         bbox_scale *= self.bbox_expand_ratio
 
-        img = self.get_image(idx)
         cam_intr = self.get_cam_intr(idx).astype(np.float32).copy()
         joints_3d = self.get_joints_3d(idx).astype(np.float32)
         joints_2d = self.get_joints_2d(idx).astype(np.float32)
@@ -217,7 +218,6 @@ class HODataset(ABC):
         corners_can = self.get_corners_can(idx).astype(np.float32)
 
         if flip:
-            img = img[:, ::-1].copy()
             bbox_center = bbox_center.copy()
             bbox_center[0] = self.raw_size[0] - bbox_center[0]
             joints_3d = self._flip_3d(joints_3d)
@@ -232,8 +232,15 @@ class HODataset(ABC):
                           1 - self.scale_jittering, 1 + self.scale_jittering)
             bbox_scale = bbox_scale * jit
             rot_rad = self.rng.uniform(-self.max_rot, self.max_rot)
+            jitter = np.array([
+                self.rng.uniform(1 - self.brightness, 1 + self.brightness),
+                self.rng.uniform(1 - self.contrast, 1 + self.contrast),
+                self.rng.uniform(1 - self.saturation, 1 + self.saturation),
+                self.rng.uniform(0, 1) * self.blur_radius * 3,
+            ], np.float32)
         else:
             rot_rad = 0.0
+            jitter = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
 
         rot_mat = np.array([
             [np.cos(rot_rad), -np.sin(rot_rad), 0],
@@ -273,29 +280,66 @@ class HODataset(ABC):
         verts_can = self.get_obj_verts_can(idx)
         if verts_can is not None:
             sample[Queries.OBJ_VERTS_CAN] = verts_can.astype(np.float32)
+        sample[Queries.SAMPLE_IDX] = idx
+        sample["_affine"] = affine_transf
+        sample["_jitter"] = jitter
+        sample["_flip"] = flip
+        return sample
 
+    def __getitem__(self, idx) -> Dict:
+        sample = self._make_geom(idx)
+        affine_transf = sample.pop("_affine")
+        jitter = sample.pop("_jitter")
+        flip = sample.pop("_flip")
+        img = self.get_image(int(sample[Queries.SAMPLE_IDX]))
+        if flip:
+            img = img[:, ::-1].copy()
         img = img.astype(np.float32) / 255.0
         if self.aug:
-            sigma = self.rng.uniform(0, 1) * self.blur_radius * 3
-            if sigma > 0.1:
-                img = cv2.GaussianBlur(img, (5, 5), sigma)
-            img = img * self.rng.uniform(1 - self.brightness, 1 + self.brightness)
+            if jitter[3] > 0.1:
+                img = cv2.GaussianBlur(img, (5, 5), float(jitter[3]))
+            img = img * jitter[0]
             mean = img.mean()
-            img = (img - mean) * self.rng.uniform(1 - self.contrast, 1 + self.contrast) + mean
+            img = (img - mean) * jitter[1] + mean
             gray = img.mean(-1, keepdims=True)
-            img = (img - gray) * self.rng.uniform(1 - self.saturation, 1 + self.saturation) + gray
+            img = (img - gray) * jitter[2] + gray
             img = np.clip(img, 0, 1)
         img = cv2.warpAffine(
             img, affine_transf[:2], (self.image_size[0], self.image_size[1]),
             flags=cv2.INTER_LINEAR)
         sample[Queries.IMAGE] = (img - 0.5).astype(np.float32)
-        sample[Queries.SAMPLE_IDX] = idx
         return sample
 
     # ---- batch assembly (parity: ho_collate, hodata.py:17-62) ----
-    def sample_batch(self, idx_list: Sequence[int]) -> Dict[str, np.ndarray]:
-        samples = [self[i] for i in idx_list]
-        return ho_collate(samples)
+    def sample_batch(self, idx_list: Sequence[int],
+                     use_native: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        """Batched sample assembly. When the native hostops library is
+        available, the per-pixel image work (warp/blur/jitter/normalize)
+        runs as one multithreaded C++ call over the whole batch."""
+        from artiboost_tpu import native
+
+        if use_native is None:
+            use_native = native.available()
+        if not use_native:
+            return ho_collate([self[i] for i in idx_list])
+
+        geoms = [self._make_geom(i) for i in idx_list]
+        images = []
+        inv_affines = []
+        jitters = []
+        for g in geoms:
+            img = self.get_image(int(g[Queries.SAMPLE_IDX]))
+            if g.pop("_flip"):
+                img = img[:, ::-1].copy()
+            images.append(img)
+            inv_affines.append(np.linalg.inv(g.pop("_affine"))[:2])
+            jitters.append(g.pop("_jitter"))
+        out_imgs = native.warp_affine_batch(
+            np.stack(images), np.stack(inv_affines), np.stack(jitters),
+            self.image_size[1], self.image_size[0])
+        for g, im in zip(geoms, out_imgs):
+            g[Queries.IMAGE] = im
+        return ho_collate(geoms)
 
 
 def ho_collate(samples: List[Dict]) -> Dict[str, np.ndarray]:

@@ -60,7 +60,7 @@ class SyntheticHO(HODataset):
         fx = fy = 435.0
         cx = cy = render_size / 2.0
         self._intr = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-        assets = default_render_assets(mano_model)
+        assets = default_render_assets(mano_model, bg_size=int(render_size * 1.5))
         intr_b = jnp.broadcast_to(jnp.asarray(self._intr)[None], (n, 3, 3))
         tex = jax.random.randint(jax.random.fold_in(key, 7), (n,), 0,
                                  assets.hand_color_bank.shape[0])
