@@ -32,8 +32,15 @@ def _draw_skeleton(draw: ImageDraw.ImageDraw, kps: np.ndarray, offset, scale=1.0
         )
 
 
-def _draw_corners(draw: ImageDraw.ImageDraw, corners: np.ndarray, offset, color="#00ffff"):
-    for a, b in CONST.CORNERCUBE_IDX_ORDER:
+def _draw_corners(draw: ImageDraw.ImageDraw, corners: np.ndarray, offset,
+                  color="#00ffff", link_order=None):
+    if link_order is not None:
+        # CORNER_LINK_ORDER: a polyline through the corner ids (datasets whose
+        # canonical corner order differs from the default cube wiring)
+        pairs = list(zip(link_order[:-1], link_order[1:]))
+    else:
+        pairs = CONST.CORNERCUBE_IDX_ORDER
+    for a, b in pairs:
         draw.line(
             [
                 (offset[0] + corners[a, 0], offset[1] + corners[a, 1]),
@@ -59,6 +66,7 @@ class Vis2DMetric(VisMetric):
         self.nrow = cfg.get("NROW", 4)
         self.mean = cfg.get("MEAN", 0.5)
         self.std = cfg.get("STD", 1.0)
+        self.corner_link_order = cfg.get("CORNER_LINK_ORDER")
         self.reset()
 
     def reset(self):
@@ -85,7 +93,7 @@ class Vis2DMetric(VisMetric):
                 c_abs = np.asarray(preds["corners_3d_abs"])[i]
                 hom = intr[i] @ c_abs.T
                 c2d = (hom[:2] / np.maximum(hom[2:], 1e-8)).T
-                _draw_corners(draw, c2d, (0, 0))
+                _draw_corners(draw, c2d, (0, 0), link_order=self.corner_link_order)
             grid.paste(tile, ((i % self.ncol) * W, (i // self.ncol) * H))
         self.images = grid
         self.count += n

@@ -9,6 +9,7 @@ masked min inside jit.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -65,8 +66,13 @@ def build_sym_tensor(
     Padding entries are identity (valid=0).
     """
     if isinstance(model_info_path_or_dict, str):
-        with open(model_info_path_or_dict) as f:
-            model_info = json.load(f)
+        if not os.path.exists(model_info_path_or_dict):
+            # configs ship deployment paths (./assets/extend_models_info.json);
+            # degrade to identity-only symmetries when the asset is absent
+            model_info = default_ycb_model_info()
+        else:
+            with open(model_info_path_or_dict) as f:
+                model_info = json.load(f)
     else:
         model_info = model_info_path_or_dict
 
