@@ -11,6 +11,8 @@ from typing import Dict, List
 import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries
+
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
 from artiboost_tpu.metrics.metric import Metric
 from artiboost_tpu.utils.misc import CONST
 from artiboost_tpu.utils.registry import METRIC
@@ -62,7 +64,7 @@ class PCKMetric(Metric):
 
     def get_measures(self) -> Dict:
         thresholds = np.linspace(self.val_min, self.val_max, self.steps)
-        area_under_one = np.trapz(np.ones_like(thresholds), thresholds)
+        area_under_one = _trapezoid(np.ones_like(thresholds), thresholds)
         dists, vis = self._stacked()
         epe_mean_per_kp, auc_per_kp, pck_curve_per_kp = [], [], []
         for i in range(self.num_kp):
@@ -72,7 +74,7 @@ class PCKMetric(Metric):
             epe_mean_per_kp.append(np.mean(d))
             pck_curve = np.array([np.mean(d <= t) for t in thresholds])
             pck_curve_per_kp.append(pck_curve)
-            auc_per_kp.append(np.trapz(pck_curve, thresholds) / area_under_one)
+            auc_per_kp.append(_trapezoid(pck_curve, thresholds) / area_under_one)
         return {
             "epe_mean_per_kp": np.array(epe_mean_per_kp),
             "pck_curve_per_kp": np.array(pck_curve_per_kp),

@@ -98,8 +98,9 @@ class HoNet(nn.Module):
 @MODEL.register_module(name="HoNet")
 def build_honet(**cfg):
     data_preset = cfg.get("DATA_PRESET", {})
+    sub = {"DTYPE": cfg["DTYPE"]} if cfg.get("DTYPE") else {}
     return HoNet(
-        backbone=build_backbone(cfg["BACKBONE"], default_args=data_preset),
+        backbone=build_backbone({**sub, **cfg["BACKBONE"]}, default_args=data_preset),
         mano_branch=build_head(cfg["HEAD"], default_args=data_preset),
         obj_trans_factor=cfg.get("OBJ_TRANS_FACTOR", 100.0),
         obj_scale_factor=cfg.get("OBJ_SCALE_FACTOR", 0.0001),

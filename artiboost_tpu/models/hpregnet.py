@@ -130,8 +130,9 @@ def build_mano_branch(**cfg):
 @MODEL.register_module(name="HOPRegNet")
 def build_hopregnet(**cfg):
     data_preset = cfg.get("DATA_PRESET", {})
+    sub = {"DTYPE": cfg["DTYPE"]} if cfg.get("DTYPE") else {}
     return HOPRegNet(
-        backbone=build_backbone(cfg["BACKBONE"], default_args=data_preset),
+        backbone=build_backbone({**sub, **cfg["BACKBONE"]}, default_args=data_preset),
         mano_branch=build_head(cfg["HEAD"], default_args=data_preset),
         inp_res=tuple(data_preset.get("IMAGE_SIZE", (224, 224))),
         center_idx=data_preset.get("CENTER_IDX", 9),

@@ -77,9 +77,14 @@ class HybridBaseline(nn.Module):
 @MODEL.register_module(name="HybridBaseline")
 def build_hybrid_baseline(**cfg):
     data_preset = cfg.get("DATA_PRESET", {})
-    backbone = build_backbone(cfg["BACKBONE"], default_args=data_preset)
-    head = build_head(cfg["HYBRID_HEAD"], default_args=data_preset)
-    box_head = build_model(cfg["BOX_HEAD"], default_args=data_preset)
+    # ARCH-level DTYPE ("bfloat16" for MXU-rate inference/training;
+    # params stay f32, geometry/softmax stay f32) cascades to submodules
+    sub = {}
+    if cfg.get("DTYPE"):
+        sub["DTYPE"] = cfg["DTYPE"]
+    backbone = build_backbone({**sub, **cfg["BACKBONE"]}, default_args=data_preset)
+    head = build_head({**sub, **cfg["HYBRID_HEAD"]}, default_args=data_preset)
+    box_head = build_model({**sub, **cfg["BOX_HEAD"]}, default_args=data_preset)
     return HybridBaseline(
         backbone=backbone,
         hybrid_head=head,

@@ -16,6 +16,7 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from artiboost_tpu.utils.misc import resolve_dtype
 from artiboost_tpu.utils.registry import HEAD
 
 
@@ -71,8 +72,25 @@ class IntegralDeconvHead(nn.Module):
             self.nclasses * self.depth_res,
             (self.final_conv_kernel, self.final_conv_kernel), padding=pad, dtype=self.dtype,
         )(x)
-        # (B, H, W, NC*D) -> (B, NC, D, H, W)
         B, H, W, _ = x.shape
+        if self.norm_type == "softmax":
+            # HBM-lean path: soft-argmax directly in NHWC layout (no
+            # (B,NC*D,H,W) transpose, single exp materialization), using
+            # max(softmax) == exp(0)/Z == 1/Z for the confidence.
+            x5 = x.reshape(B, H, W, self.nclasses, self.depth_res).astype(jnp.float32)
+            m = jnp.max(x5, axis=(1, 2, 4), keepdims=True)          # (B,1,1,NC,1)
+            e = jnp.exp(x5 - m)
+            z = jnp.sum(e, axis=(1, 2, 4))                          # (B, NC)
+            confd = 1.0 / z
+            wd = jnp.arange(self.depth_res, dtype=jnp.float32) / self.depth_res
+            wv = jnp.arange(H, dtype=jnp.float32) / H
+            wu = jnp.arange(W, dtype=jnp.float32) / W
+            d_ = jnp.einsum("bhwcd,d->bc", e, wd) / z
+            v_ = jnp.einsum("bhwcd,h->bc", e, wv) / z
+            u_ = jnp.einsum("bhwcd,w->bc", e, wu) / z
+            uvd = jnp.stack([u_, v_, d_], axis=-1)
+            return {"kp3d": uvd, "kp3d_confd": confd}
+        # generic path (sigmoid / divide_sum): reference layout
         x = x.transpose(0, 3, 1, 2).reshape(B, self.nclasses, self.depth_res, H, W)
         flat = x.reshape(B, self.nclasses, -1).astype(jnp.float32)
         flat = norm_heatmap(self.norm_type, flat)
@@ -94,5 +112,5 @@ def build_integral_deconv_head(**cfg):
         deconv_kernels=tuple(cfg.get("NUM_DECONV_KERNELS", (4, 4))),
         deconv_with_bias=cfg.get("DECONV_WITH_BIAS", False),
         final_conv_kernel=cfg.get("FINAL_CONV_KERNEL", 1),
-        dtype=cfg.get("DTYPE", jnp.float32),
+        dtype=resolve_dtype(cfg.get("DTYPE")),
     )

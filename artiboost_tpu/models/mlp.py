@@ -6,6 +6,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from artiboost_tpu.utils.misc import resolve_dtype
 from artiboost_tpu.utils.registry import MODEL
 
 
@@ -27,5 +28,5 @@ def build_mlp_o(**cfg):
     return MLP(
         layers_n=tuple(cfg.get("LAYERS_N", (512, 256, 128))),
         out_channel=cfg.get("OUT_CHANNEL", 6),
-        dtype=cfg.get("DTYPE", jnp.float32),
+        dtype=resolve_dtype(cfg.get("DTYPE")),
     )

@@ -13,6 +13,7 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from artiboost_tpu.utils.misc import resolve_dtype
 from artiboost_tpu.utils.registry import BACKBONE
 
 ModuleDef = Any
@@ -88,7 +89,7 @@ class ResNet(nn.Module):
 # factory functions rather than subclasses
 def _make_factory(name, block, sizes):
     def factory(**cfg):
-        return ResNet(block_cls=block, stage_sizes=sizes, dtype=cfg.get("DTYPE", jnp.float32))
+        return ResNet(block_cls=block, stage_sizes=sizes, dtype=resolve_dtype(cfg.get("DTYPE")))
 
     factory.__name__ = name
     return BACKBONE.register_module(factory, name=name)

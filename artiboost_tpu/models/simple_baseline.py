@@ -48,9 +48,10 @@ class SimpleBaseline(nn.Module):
 @MODEL.register_module(name="SimpleBaseline")
 def build_simple_baseline(**cfg):
     data_preset = cfg.get("DATA_PRESET", {})
+    sub = {"DTYPE": cfg["DTYPE"]} if cfg.get("DTYPE") else {}
     return SimpleBaseline(
-        backbone=build_backbone(cfg["BACKBONE"], default_args=data_preset),
-        pose_head=build_head(cfg["HEAD"], default_args=data_preset),
+        backbone=build_backbone({**sub, **cfg["BACKBONE"]}, default_args=data_preset),
+        pose_head=build_head({**sub, **cfg["HEAD"]}, default_args=data_preset),
         inp_res=tuple(data_preset.get("IMAGE_SIZE", (224, 224))),
         center_idx=data_preset.get("CENTER_IDX", 9),
     )

@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--test_freq", type=int, default=5)
     parser.add_argument("--n_devices", type=int, default=None,
                         help="mesh data-axis size (default: all local devices)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace (TensorBoard/Perfetto) here")
+    parser.add_argument("--profile_steps", type=int, default=20,
+                        help="number of train steps to capture in the trace")
     # submit
     parser.add_argument("--resume_epoch", type=int, default=0)
     parser.add_argument("--submit_dataset", type=str, default="hodata")

@@ -108,6 +108,20 @@ def camel_to_snake(name: str) -> str:
     return "".join(out)
 
 
+def resolve_dtype(dtype):
+    """Accept a YAML string ("bfloat16", "float32"), numpy/jnp dtype, or
+    None (-> float32) and return a jnp dtype for flax compute dtypes."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        return jnp.float32
+    if isinstance(dtype, str):
+        return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float32": jnp.float32, "fp32": jnp.float32,
+                "float16": jnp.float16, "fp16": jnp.float16}[dtype.lower()]
+    return dtype
+
+
 def param_size(params) -> float:
     """Total size of a jax pytree of params, in millions of scalars."""
     import jax

