@@ -126,7 +126,10 @@ class ArtiBoostLoader:
             center_idx=int(data_preset.get("CENTER_IDX", 0)),
             bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
         )
-        self.assets: RenderAssets = default_render_assets(self.mano_model)
+        self.assets: RenderAssets = default_render_assets(
+            self.mano_model,
+            bgs_path=rend_cfg.get("BGS_PATH"),
+            html_path=rend_cfg.get("HTML_PATH", "data/HTML_supp"))
         self._synth_batch_jit = jax.jit(
             make_synth_batch_fn(self.mano_model, self.obj_lib, self.assets,
                                 self.synth_cfg))

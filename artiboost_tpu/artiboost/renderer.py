@@ -17,6 +17,7 @@ TPU-first replacement for the reference render farm
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -61,12 +62,87 @@ def synthetic_hand_color_bank(n_tex: int = 8, seed: int = 0) -> jnp.ndarray:
     return jnp.asarray(np.stack(bank))
 
 
+def load_backgrounds(path: str, size: int = 336, max_n: int = 64) -> Optional[jnp.ndarray]:
+    """Load a background-image pool from disk (reference composites random
+    bg crops behind the render, ``anakin/utils/renderer.py:111-136``)."""
+    import glob
+
+    files = sorted(
+        f for ext in ("*.jpg", "*.jpeg", "*.png")
+        for f in glob.glob(os.path.join(path, "**", ext), recursive=True)
+    )[:max_n]
+    if not files:
+        return None
+    from PIL import Image
+
+    bgs = []
+    for f in files:
+        im = Image.open(f).convert("RGB").resize((size, size), Image.BILINEAR)
+        bgs.append(np.asarray(im, np.float32) / 255.0)
+    return jnp.asarray(np.stack(bgs))
+
+
+def load_html_hand_colors(html_root: str, n_verts: int = 778,
+                          skip_ids: Tuple[int, ...] = (2,)) -> Optional[jnp.ndarray]:
+    """Bake the HTML textured hand meshes (``data/HTML_supp/html_{i:03d}/
+    hand.obj``, 51 hands, reference ``anakin/artiboost/hand_texture.py``)
+    into per-vertex colors: each MANO vertex samples the hand texture at
+    its first UV. Gouraud vertex colors are what the TPU rasterizer
+    interpolates, so the texture fetch happens once at asset load."""
+    from PIL import Image
+
+    banks = []
+    for i in range(52):
+        if i in skip_ids:
+            continue
+        d = os.path.join(html_root, f"html_{i:03d}")
+        obj_path = os.path.join(d, "hand.obj")
+        if not os.path.isfile(obj_path):
+            continue
+        uvs, v_uv, tex = [], {}, None
+        with open(obj_path) as f:
+            for line in f:
+                t = line.split()
+                if not t:
+                    continue
+                if t[0] == "vt":
+                    uvs.append((float(t[1]), float(t[2])))
+                elif t[0] == "f":
+                    for corner in t[1:]:
+                        parts = corner.split("/")
+                        if len(parts) >= 2 and parts[1]:
+                            v_uv.setdefault(int(parts[0]) - 1, int(parts[1]) - 1)
+        for cand in ("texture.png", "texture.jpg", "hand.png", "hand.jpg"):
+            p = os.path.join(d, cand)
+            if os.path.isfile(p):
+                tex = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+                break
+        if tex is None or not uvs:
+            continue
+        H, W = tex.shape[:2]
+        colors = np.full((n_verts, 3), 0.7, np.float32)
+        for v, vt in v_uv.items():
+            if v < n_verts and vt < len(uvs):
+                u, w = uvs[vt]
+                px = min(int(u * (W - 1)), W - 1)
+                py = min(int((1.0 - w) * (H - 1)), H - 1)
+                colors[v] = tex[py, px]
+        banks.append(colors)
+    return jnp.asarray(np.stack(banks)) if banks else None
+
+
 def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8,
-                          bg_size: int = 336) -> RenderAssets:
+                          bg_size: int = 336, bgs_path: Optional[str] = None,
+                          html_path: Optional[str] = None) -> RenderAssets:
+    """Real asset banks when paths exist, synthetic stand-ins otherwise."""
+    backgrounds = load_backgrounds(bgs_path, bg_size) if bgs_path else None
+    hand_bank = load_html_hand_colors(html_path) if html_path else None
     return RenderAssets(
         hand_faces=mano_model.faces,
-        hand_color_bank=synthetic_hand_color_bank(n_tex),
-        backgrounds=synthetic_backgrounds(n_bg, size=bg_size),
+        hand_color_bank=hand_bank if hand_bank is not None
+        else synthetic_hand_color_bank(n_tex),
+        backgrounds=backgrounds if backgrounds is not None
+        else synthetic_backgrounds(n_bg, size=bg_size),
     )
 
 

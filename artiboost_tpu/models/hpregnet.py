@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from artiboost_tpu.datasets.hoquery import Queries
@@ -67,6 +68,33 @@ class ManoBranch(nn.Module):
         }
 
 
+class ManoAdaptor(nn.Module):
+    """Fixed linear 778-vert -> 21-joint regressor (reference
+    ``anakin/models/mano.py:13-41``): maps MANO vertices to a dataset's
+    joint convention (e.g. FHB). Initialized from the MANO skinning
+    regressor extended with fingertip vertex picks; frozen by default
+    (exclude the ``adaptor`` collection from the optimizer, as the
+    reference sets requires_grad=False)."""
+
+    mano_model: ManoModel
+
+    @nn.compact
+    def __call__(self, verts: jnp.ndarray) -> jnp.ndarray:
+        from artiboost_tpu.mano.model import JOINT_REORDER, TIP_VERT_IDS
+
+        def init_regressor(_key, shape):
+            reg16 = jnp.asarray(self.mano_model.J_regressor)  # (16, 778)
+            tips = jnp.zeros((5, reg16.shape[1]), reg16.dtype)
+            for row, vid in enumerate(TIP_VERT_IDS):
+                tips = tips.at[row, vid].set(1.0)
+            reg21 = jnp.concatenate([reg16, tips], axis=0)[jnp.asarray(JOINT_REORDER)]
+            assert reg21.shape == shape
+            return reg21
+
+        reg = self.param("regressor", init_regressor, (21, verts.shape[1]))
+        return jnp.einsum("jv,bvc->bjc", jax.lax.stop_gradient(reg), verts)
+
+
 class HOPRegNet(nn.Module):
     backbone: ResNet
     mano_branch: ManoBranch
@@ -112,6 +140,13 @@ class HOPRegNet(nn.Module):
             "mano_pca_pose": mano_results["mano_pca_pose"],
             "mano_full_pose": mano_results["mano_full_pose"],
         }
+
+
+@HEAD.register_module(name="ManoAdaptor")
+def build_mano_adaptor(**cfg):
+    from artiboost_tpu.mano.model import get_mano_model
+
+    return ManoAdaptor(mano_model=get_mano_model(cfg.get("MANO_ASSETS_ROOT")))
 
 
 @HEAD.register_module(name="ManoBranch")

@@ -1,0 +1,81 @@
+"""Asset loaders: HTML hand-texture baking, background pools, ManoAdaptor."""
+import os
+
+import jax
+import numpy as np
+from PIL import Image
+
+from artiboost_tpu.artiboost.renderer import (
+    load_backgrounds,
+    load_html_hand_colors,
+    synthetic_hand_color_bank,
+)
+from artiboost_tpu.mano.layer import mano_forward
+from artiboost_tpu.mano.model import get_mano_model
+from artiboost_tpu.models.hpregnet import ManoAdaptor
+
+
+def _write_hand_obj(d, n_verts=8, color=(255, 0, 0)):
+    os.makedirs(d, exist_ok=True)
+    tex = np.zeros((4, 4, 3), np.uint8)
+    tex[:] = color
+    Image.fromarray(tex).save(os.path.join(d, "texture.png"))
+    lines = []
+    for i in range(n_verts):
+        lines.append(f"v {i * 0.1} 0 0")
+        lines.append(f"vt 0.5 0.5")
+    lines.append("f 1/1 2/2 3/3")
+    lines.append(f"f {n_verts - 2}/{n_verts - 2} {n_verts - 1}/{n_verts - 1} {n_verts}/{n_verts}")
+    with open(os.path.join(d, "hand.obj"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_html_hand_colors_bake(tmp_path):
+    root = str(tmp_path)
+    _write_hand_obj(os.path.join(root, "html_000"), color=(255, 0, 0))
+    _write_hand_obj(os.path.join(root, "html_001"), color=(0, 255, 0))
+    _write_hand_obj(os.path.join(root, "html_002"))  # must be skipped (ref skips i==2)
+    bank = load_html_hand_colors(root, n_verts=8)
+    assert bank.shape == (2, 8, 3)
+    # vertices referenced by faces sample the texture; others keep default
+    assert np.allclose(np.asarray(bank)[0, 0], [1.0, 0.0, 0.0], atol=0.02)
+    assert np.allclose(np.asarray(bank)[1, 0], [0.0, 1.0, 0.0], atol=0.02)
+
+
+def test_html_missing_returns_none(tmp_path):
+    assert load_html_hand_colors(str(tmp_path / "nope")) is None
+    assert load_backgrounds(str(tmp_path / "nope")) is None
+
+
+def test_load_backgrounds(tmp_path):
+    d = tmp_path / "bgs"
+    os.makedirs(d)
+    for i in range(3):
+        Image.fromarray(np.full((16, 24, 3), i * 40, np.uint8)).save(d / f"bg_{i}.jpg")
+    bank = load_backgrounds(str(d), size=32)
+    assert bank.shape == (3, 32, 32, 3)
+    assert 0.0 <= float(bank.min()) and float(bank.max()) <= 1.0
+
+
+def test_synthetic_bank_shape():
+    bank = synthetic_hand_color_bank(4)
+    assert bank.shape == (4, 778, 3)
+
+
+def test_mano_adaptor_recovers_joints():
+    """Adaptor(verts) must match the FK joints at any pose: both are the
+    same linear regressor + tip picks applied to the posed mesh."""
+    model = get_mano_model()
+    adaptor = ManoAdaptor(mano_model=model)
+    import jax.numpy as jnp
+
+    pose = jax.random.normal(jax.random.PRNGKey(0), (2, 48)) * 0.1
+    shape = jnp.zeros((2, 10))
+    out = mano_forward(model, pose, shape, center_idx=None)
+    variables = adaptor.init(jax.random.PRNGKey(0), out.verts)
+    joints = adaptor.apply(variables, out.verts)
+    assert joints.shape == (2, 21, 3)
+    err = np.abs(np.asarray(joints) - np.asarray(out.joints)).max()
+    # J_regressor acts on the *rest* mesh inside FK while the adaptor acts
+    # on the posed mesh; they agree to LBS-deformation tolerance
+    assert err < 0.02, err
