@@ -20,6 +20,7 @@ Public surface kept: ``prepare()``, ``step_eval(epoch, evaluator)``,
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -85,9 +86,25 @@ class ArtiBoostLoader:
         n_persp = self.view_cfg.n_persp
         blacklist = None
         if cfg.get("FILTER", {}).get("BACK", True):
-            blacklist = build_blacklist_map(
-                self.mano_model, self.grasp_lib.hand_pose,
-                persp_rotmat_centers(self.view_cfg))
+            # disk cache keyed by engine identity (parity with the
+            # reference's md5-cached sweep, artiboost_loader.py:428-449)
+            import hashlib
+
+            ident = hashlib.md5(repr((
+                sorted(obj_names), dataset_type, n_grasp,
+                self.view_cfg.persp_u_bins, self.view_cfg.persp_theta_bins,
+                np.asarray(self.grasp_lib.hand_pose[..., :3]).tobytes(),
+            )).encode()).hexdigest()
+            cache_dir = cfg.get("CACHE_DIR", "common/cache/CCV_blacklist")
+            cache_path = os.path.join(cache_dir, f"{ident}.npy")
+            if os.path.isfile(cache_path):
+                blacklist = jnp.asarray(np.load(cache_path))
+            else:
+                blacklist = build_blacklist_map(
+                    self.mano_model, self.grasp_lib.hand_pose,
+                    persp_rotmat_centers(self.view_cfg))
+                os.makedirs(cache_dir, exist_ok=True)
+                np.save(cache_path, np.asarray(blacklist))
             logger.info(
                 f"blacklist: {float(jnp.mean(blacklist)) * 100:.1f}% of "
                 f"{n_obj * n_persp * n_grasp} CCV triplets filtered")

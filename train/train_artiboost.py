@@ -41,6 +41,7 @@ from artiboost_tpu.parallel import (
     shard_batch,
 )
 from artiboost_tpu.utils import profiling
+from artiboost_tpu.utils.etqdm import etqdm
 from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.misc import TrainMode
 from artiboost_tpu.utils.recorder import Recorder
@@ -68,7 +69,9 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
     evaluator.reset_all()
     t0 = time.time()
     n_batches = 0
-    for bidx, batch in enumerate(loader):
+    bar = etqdm(loader, total=len(loader) if hasattr(loader, "__len__") else None,
+                desc=f"{mode.name} {epoch}")
+    for bidx, batch in enumerate(bar):
         key, sub = jax.random.split(key)
         if profiler_cfg and epoch == 0 and bidx == 1:  # skip compile step
             profiling.start_trace(profiler_cfg[0])
@@ -84,6 +87,8 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
             profiling.stop_trace()
         evaluator.feed_all(preds, batch, losses)
         n_batches += 1
+        if bidx % log_every == 0:
+            bar.set_postfix_str(str(evaluator))
         if summarizer is not None and mode == TrainMode.TRAIN and bidx % log_every == 0:
             summarizer.summarize_losses(
                 {k: v for k, v in losses.items() if v is not None},
