@@ -56,9 +56,11 @@ class ArtiBoostLoader:
         n_epochs: int = 100,
         mano_model: Optional[ManoModel] = None,
         seed: int = 0,
+        mesh=None,                         # jax.sharding.Mesh: SPMD synthesis
     ):
         cfg = cfg or {}
         self.batch_size = batch_size
+        self.mesh = mesh
         self.n_epochs = n_epochs
         self.key = jax.random.PRNGKey(seed)
         self.use_synth = True
@@ -127,7 +129,20 @@ class ArtiBoostLoader:
         self.pose_generator = make_pose_generator(
             self.mano_model, self.obj_lib, self.grasp_lib, self.view_cfg,
             scrambler, refiner)
-        self._generate_jit = jax.jit(self.pose_generator)
+        if mesh is not None:
+            # SPMD pose sweep: triplet ids shard over the data axis so FK +
+            # refinement run on every chip; the finished pose cache is
+            # all-gathered to replicated (it is small: ~0.5KB/triplet) so
+            # per-batch indexing during the epoch stays local
+            from artiboost_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            data_sh, repl_sh = batch_sharding(mesh), replicated_sharding(mesh)
+            self._generate_jit = jax.jit(
+                self.pose_generator,
+                in_shardings=(repl_sh, data_sh, data_sh, data_sh),
+                out_shardings=repl_sh)
+        else:
+            self._generate_jit = jax.jit(self.pose_generator)
 
         # render pipeline
         rend_cfg = cfg.get("RENDERER", {})
@@ -147,9 +162,19 @@ class ArtiBoostLoader:
             self.mano_model,
             bgs_path=rend_cfg.get("BGS_PATH"),
             html_path=rend_cfg.get("HTML_PATH", "data/HTML_supp"))
-        self._synth_batch_jit = jax.jit(
-            make_synth_batch_fn(self.mano_model, self.obj_lib, self.assets,
-                                self.synth_cfg))
+        synth_fn = make_synth_batch_fn(self.mano_model, self.obj_lib, self.assets,
+                                       self.synth_cfg)
+        if mesh is not None:
+            # per-batch render shards over data: each chip rasterizes its
+            # slice of the synth half-batch
+            from artiboost_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            data_sh, repl_sh = batch_sharding(mesh), replicated_sharding(mesh)
+            self._synth_batch_jit = jax.jit(
+                synth_fn, in_shardings=(repl_sh, repl_sh, data_sh),
+                out_shardings=data_sh)
+        else:
+            self._synth_batch_jit = jax.jit(synth_fn)
 
         # epoch sizing (parity: synth_len = synth_factor * len(real))
         self.real_dataset = real_dataset
@@ -157,6 +182,9 @@ class ArtiBoostLoader:
         real_len = len(real_dataset) if real_dataset is not None else 0
         self.config_len_train = int(cfg.get(
             "CONFIG_LEN_TRAIN", max(int(self.synth_factor * real_len), batch_size)))
+        if mesh is not None:  # triplet count must tile the data axis
+            n_data = int(mesh.shape["data"])
+            self.config_len_train = -(-self.config_len_train // n_data) * n_data
         self.generated: Optional[GeneratedPoses] = None
 
     # ------------------------------------------------------------------
@@ -191,6 +219,11 @@ class ArtiBoostLoader:
         n_synth = int(round(self.batch_size * synth_len / total))
         if real_len == 0:
             n_synth = self.batch_size
+        elif self.mesh is not None and n_synth:
+            # sharded synth render needs the synth slice to tile the mesh
+            n_data = int(self.mesh.shape["data"])
+            n_synth = max(-(-n_synth // n_data) * n_data, n_data)
+            n_synth = min(n_synth, self.batch_size)
         return self.batch_size - n_synth, n_synth
 
     def __len__(self) -> int:

@@ -142,7 +142,8 @@ def main_worker(arg, cfg, extra):
     # ---- artiboost loader ----
     artiboost_loader = ArtiBoostLoader(
         real_dataset=train_data, cfg=manager_cfg, batch_size=batch_size,
-        n_epochs=n_epochs, seed=int(cfg["TRAIN"].get("MANUAL_SEED", 1)))
+        n_epochs=n_epochs, seed=int(cfg["TRAIN"].get("MANUAL_SEED", 1)),
+        mesh=mesh)
 
     # ---- optimizer / state ----
     optimizer, sched = build_optimizer(cfg["TRAIN"])
