@@ -35,6 +35,8 @@ class DexYCB(HODataset):
         super().__init__(**cfg)
         self.name = "DexYCB"
         self.split_mode = cfg.get("SPLIT_MODE", "s0")
+        self.use_left_hand = bool(cfg.get("USE_LEFT_HAND", False))
+        self.filter_invisible_hand = bool(cfg.get("FILTER_INVISIBLE_HAND", True))
         self.raw_size = (640, 480)
         self.root = os.path.join(self.data_root, "DexYCB")
         self.samples: List[Dict] = []
@@ -82,12 +84,43 @@ class DexYCB(HODataset):
                                 "ycb_ids": meta.get("ycb_ids", [1]),
                                 "cam": cam,
                             })
+        self._filter_samples()
         if self.mini_factor < 1.0:
             self.samples = self.samples[::int(1.0 / self.mini_factor)]
         if self.use_cache:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.savez_compressed(cache, samples=np.asarray(self.samples, dtype=object))
         logger.info(f"{self.name}: {len(self.samples)} samples")
+
+    def _filter_samples(self):
+        """Drop invisible-hand and no-contact frames (parity:
+        ``anakin/datasets/dexycb.py:83-105`` — the reference filters
+        left-hand/invisible/no-contact with a cache; the filtered list is
+        what lands in our npz cache). Contact uses the min hand-joint to
+        object-bbox-corner distance against FILTER_THRESH (mm)."""
+        if not (self.filter_invisible_hand or self.filter_no_contact):
+            return
+        keep = []
+        for i, s in enumerate(self.samples):
+            lab = np.load(s["labels"])
+            j3d = np.asarray(lab["joint_3d"], np.float32).reshape(21, 3)
+            if self.filter_invisible_hand and np.all(j3d == -1):
+                continue
+            if self.filter_no_contact and self.filter_thresh > 0:
+                pose = np.asarray(lab["pose_y"], np.float32)[s["ycb_grasp_ind"]]
+                can = self._corners_can_for_obj(
+                    int(s["ycb_ids"][s["ycb_grasp_ind"]]))
+                corners = can @ pose[:3, :3].T + pose[:3, 3]
+                d_mm = np.linalg.norm(
+                    j3d[:, None] - corners[None], axis=-1).min() * 1000.0
+                if d_mm > self.filter_thresh:
+                    continue
+            keep.append(i)
+        dropped = len(self.samples) - len(keep)
+        if dropped:
+            logger.info(f"{self.name}: contact/visibility filter dropped "
+                        f"{dropped}/{len(self.samples)} frames")
+        self.samples = [self.samples[i] for i in keep]
 
     def _labels(self, idx):
         return np.load(self.samples[idx]["labels"])
@@ -122,9 +155,8 @@ class DexYCB(HODataset):
         can = self.get_corners_can(idx)
         return can @ transf[:3, :3].T + transf[:3, 3]
 
-    def get_corners_can(self, idx):
+    def _corners_can_for_obj(self, obj_idx):
         # bbox corners of the grasped-object model (cached per object)
-        obj_idx = self.get_obj_idx(idx)
         if not hasattr(self, "_corner_cache"):
             self._corner_cache = {}
         if obj_idx not in self._corner_cache:
@@ -139,6 +171,9 @@ class DexYCB(HODataset):
                 for z in (lo[2], hi[2])
             ], np.float32) - center
         return self._corner_cache[obj_idx]
+
+    def get_corners_can(self, idx):
+        return self._corners_can_for_obj(self.get_obj_idx(idx))
 
     def get_obj_transf(self, idx):
         s = self.samples[idx]

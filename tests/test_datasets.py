@@ -87,3 +87,42 @@ class TestCollate:
         assert out[Queries.OBJ_VERTS_CAN].shape == (2, 10, 3)
         np.testing.assert_allclose(out[Queries.PADDING_MASK][0], 1.0)
         assert out[Queries.PADDING_MASK][1].sum() == 6
+
+
+class TestDexYCBFilter:
+    """Contact / invisible-hand frame filtering (dexycb.py:83-105 parity)."""
+
+    def _make(self, tmp_path, joint_center, obj_tsl):
+        import os
+        from artiboost_tpu.datasets.dexycb import DexYCB
+
+        lab = os.path.join(str(tmp_path), "labels_000001.npz")
+        j3d = np.full((21, 3), joint_center, np.float32)
+        pose_y = np.zeros((1, 3, 4), np.float32)
+        pose_y[0, :3, :3] = np.eye(3)
+        pose_y[0, :3, 3] = obj_tsl
+        np.savez(lab, joint_3d=j3d, pose_y=pose_y)
+
+        ds = object.__new__(DexYCB)
+        ds.name = "DexYCB"
+        ds.filter_invisible_hand = True
+        ds.filter_no_contact = True
+        ds.filter_thresh = 50.0  # mm
+        ds._corner_cache = {1: np.zeros((8, 3), np.float32)}
+        ds.samples = [{"labels": lab, "ycb_grasp_ind": 0, "ycb_ids": [1]}]
+        return ds
+
+    def test_keeps_contact_frame(self, tmp_path):
+        ds = self._make(tmp_path, joint_center=0.51, obj_tsl=(0.51, 0.51, 0.51))
+        ds._filter_samples()
+        assert len(ds.samples) == 1
+
+    def test_drops_no_contact_frame(self, tmp_path):
+        ds = self._make(tmp_path, joint_center=0.5, obj_tsl=(0.7, 0.5, 0.5))
+        ds._filter_samples()
+        assert len(ds.samples) == 0
+
+    def test_drops_invisible_hand(self, tmp_path):
+        ds = self._make(tmp_path, joint_center=-1.0, obj_tsl=(-1.0, -1.0, -1.0))
+        ds._filter_samples()
+        assert len(ds.samples) == 0
