@@ -35,8 +35,14 @@ def conv_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def deconv_kernel(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (in, out, H, W) -> flax ConvTranspose HWIO."""
-    return np.transpose(w, (2, 3, 0, 1))
+    """torch ConvTranspose2d (in, out, kH, kW) -> flax ConvTranspose HWIO.
+
+    flax's ConvTranspose (transpose_kernel=False) runs a fractionally-
+    strided *correlation* without flipping, while torch's ConvTranspose2d
+    is the gradient of a correlation — so the spatial taps must be
+    reversed on top of the layout transpose (verified numerically in
+    tests/test_torch_convert.py::test_deconv_parity)."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def linear_kernel(w: np.ndarray) -> np.ndarray:

@@ -1,0 +1,147 @@
+"""Checkpoint conversion parity: torch layers (the reference's runtime)
+vs flax layers with converted weights must agree numerically. Guards the
+released-``.pth.tar``-to-flax path (``utils/torch_convert.py``), where a
+silent layout mismatch (OIHW/HWIO, deconv flip, BN stats) would corrupt
+eval parity without crashing.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import flax.linen as fnn  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from artiboost_tpu.utils.torch_convert import (  # noqa: E402
+    conv_kernel,
+    convert_mlp,
+    convert_resnet,
+    deconv_kernel,
+    linear_kernel,
+)
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_conv_parity():
+    tconv = torch.nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+    x = torch.randn(2, 3, 16, 16)
+    ref = _np(tconv(x)).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+    fconv = fnn.Conv(8, (7, 7), (2, 2), padding=3, use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(conv_kernel(_np(tconv.weight)))}}
+    out = fconv.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+def test_deconv_parity():
+    """torch ConvTranspose2d(k4, s2, p1) == flax ConvTranspose(k4, s2, SAME)
+    with the converted kernel — the head's upsampling layer."""
+    tdeconv = torch.nn.ConvTranspose2d(6, 4, 4, stride=2, padding=1, bias=False)
+    x = torch.randn(2, 6, 7, 7)
+    ref = _np(tdeconv(x)).transpose(0, 2, 3, 1)
+    assert ref.shape == (2, 14, 14, 4)
+
+    fdeconv = fnn.ConvTranspose(4, (4, 4), strides=(2, 2), padding="SAME",
+                                use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(deconv_kernel(_np(tdeconv.weight)))}}
+    out = fdeconv.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
+    assert out.shape == (2, 14, 14, 4)
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+def test_linear_parity():
+    tlin = torch.nn.Linear(10, 5)
+    x = torch.randn(3, 10)
+    ref = _np(tlin(x))
+    fdense = fnn.Dense(5)
+    params = {"params": {"kernel": jnp.asarray(linear_kernel(_np(tlin.weight))),
+                         "bias": jnp.asarray(_np(tlin.bias))}}
+    out = fdense.apply(params, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+def _torch_basic_block(cin, cout, stride):
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(cout)
+            self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(cout)
+            if stride != 1 or cin != cout:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(cout),
+                )
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idn)
+
+    return Block()
+
+
+class _TorchMiniResNet(torch.nn.Module):
+    """conv1/bn1 + 2 stages of 1 BasicBlock, reference state-dict naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.layer1 = torch.nn.Sequential(_torch_basic_block(64, 64, 1))
+        self.layer2 = torch.nn.Sequential(_torch_basic_block(64, 128, 2))
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        x = self.layer1(x)
+        return self.layer2(x)
+
+
+def test_full_resnet_conversion_parity():
+    """Converted mini-ResNet (eval mode, running stats) matches torch."""
+    from artiboost_tpu.models.resnet import BasicBlock, ResNet
+
+    tm = _TorchMiniResNet().eval()
+    # randomize BN stats so the test catches mean/var mix-ups
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+
+    sd = {"backbone." + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_resnet(sd, "backbone.")
+
+    x = torch.randn(2, 3, 32, 32)
+    ref = _np(tm(x)).transpose(0, 2, 3, 1)
+
+    fm = ResNet(block_cls=BasicBlock, stage_sizes=(1, 1))
+    out = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(_np(x).transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out["res_layer2"]), ref, **TOL)
+
+
+def test_convert_mlp_ordering():
+    sd = {
+        "box_head.net.0.weight": np.random.randn(4, 8).astype(np.float32),
+        "box_head.net.0.bias": np.random.randn(4).astype(np.float32),
+        "box_head.net.2.weight": np.random.randn(2, 4).astype(np.float32),
+        "box_head.net.10.weight": np.random.randn(1, 2).astype(np.float32),
+    }
+    params = convert_mlp(sd, "box_head.")
+    assert params["Dense_0"]["kernel"].shape == (8, 4)
+    assert params["Dense_1"]["kernel"].shape == (4, 2)
+    assert params["Dense_2"]["kernel"].shape == (2, 1)  # numeric sort, not lexical
