@@ -13,6 +13,7 @@ when importing ``refinenet.pt``.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional
 
 import flax.linen as nn
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 from artiboost_tpu.mano.layer import mano_forward
 from artiboost_tpu.mano.model import ManoModel
 from artiboost_tpu.ops.chamfer import chamfer_distance
+from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.transform import aa_to_rotmat, rot6d_to_rotmat, rotmat_to_aa
 
 
@@ -138,13 +140,47 @@ def make_ho_refiner(
     return refine
 
 
+def save_refiner_params(params, path: str) -> None:
+    """Flat-npz snapshot of RefineNet params (the native checkpoint
+    format; pairs with ``load_refiner_params``)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(params).items()}
+    np.savez(path, **flat)
+
+
+def load_refiner_params(path: str):
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    blob = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): jnp.asarray(blob[k])
+                           for k in blob.files})
+
+
 def build_refiner(cfg: Dict, mano_model: ManoModel, key: Optional[jax.Array] = None):
-    """cfg: {"TYPE": "null"|"hand_obj", "ITERS": 3, "PRETRAINED": path}."""
+    """cfg: {"TYPE": "null"|"hand_obj", "ITERS": 3, "PRETRAINED": path}.
+
+    PRETRAINED: a ``.npz`` saved by ``save_refiner_params``. The
+    reference's GrabNet ``refinenet.pt`` cannot be imported directly —
+    this RefineNet is a re-design (LayerNorm ResBlocks, zero-init delta
+    heads) — so absent a native checkpoint the net starts as the
+    identity refiner (zero deltas) and trains jointly."""
     if cfg.get("TYPE", "null") == "null":
         return make_null_refiner(mano_model)
     net = RefineNet()
     if key is None:
         key = jax.random.PRNGKey(0)
     params = net.init(key, jnp.zeros((1, 778)), jnp.zeros((1, 96)), jnp.zeros((1, 3)))
-    # PRETRAINED torch checkpoint import is handled by utils.torch_convert
+    pretrained = cfg.get("PRETRAINED")
+    if pretrained and str(pretrained).endswith(".npz") and os.path.isfile(pretrained):
+        loaded = load_refiner_params(pretrained)
+        params = loaded if "params" in loaded else {"params": loaded}
+        logger.info(f"refiner: loaded pretrained params from {pretrained}")
+    elif pretrained:
+        logger.warning(
+            f"refiner: {pretrained} not loadable (need a .npz from "
+            "save_refiner_params); starting from the identity refiner")
     return make_ho_refiner(mano_model, net, params, n_iters=int(cfg.get("ITERS", 3)))

@@ -79,3 +79,27 @@ def test_mano_adaptor_recovers_joints():
     # J_regressor acts on the *rest* mesh inside FK while the adaptor acts
     # on the posed mesh; they agree to LBS-deformation tolerance
     assert err < 0.02, err
+
+
+def test_refiner_params_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from artiboost_tpu.artiboost.refiner import (
+        RefineNet, build_refiner, load_refiner_params, save_refiner_params)
+
+    net = RefineNet()
+    params = net.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 778)), jnp.zeros((1, 96)), jnp.zeros((1, 3)))
+    path = str(tmp_path / "refiner.npz")
+    save_refiner_params(params, path)
+    loaded = load_refiner_params(path)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    model = get_mano_model()
+    refine = build_refiner({"TYPE": "hand_obj", "PRETRAINED": path}, model)
+    feed = {"hand_pose": jnp.zeros((2, 48)), "hand_tsl": jnp.zeros((2, 3))}
+    out = refine(feed, jnp.zeros((2, 64, 3)), jnp.ones((2, 64)))
+    assert out["hand_verts"].shape == (2, 778, 3)
