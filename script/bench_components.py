@@ -35,8 +35,10 @@ def timeit(make_args, fn, reps=5):
     for r in range(reps):
         out = fn(*make_args(r))
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    return max(dt - DISPATCH_FLOOR, 1e-9)
+    total = time.time() - t0
+    # reps queue asynchronously: one blocking round-trip pays the tunnel
+    # floor once, so subtract it from the total, not from each rep
+    return max(total - DISPATCH_FLOOR, 1e-9) / reps
 
 
 def bench_rasterizer(B=64, size=224):
@@ -54,7 +56,7 @@ def bench_rasterizer(B=64, size=224):
     fn = jax.jit(lambda v, a: rasterize_batch_pallas(
         v, a, jnp.asarray(faces), jnp.asarray(valid), size, size))
     v0, a0 = jnp.asarray(verts), jnp.asarray(attrs)
-    dt = timeit(lambda r: (v0 + 0.01 * r, a0), fn)
+    dt = timeit(lambda r: (v0 + 0.01 * r, a0), fn, reps=20)
     return {"metric": f"rasterizer_{size}px_renders_per_sec", "value": round(B / dt, 1),
             "unit": "renders/s", "detail": f"B={B} V={V} F={F}"}
 
@@ -76,7 +78,7 @@ def bench_pose_generator(loader, n=512):
     vid = jnp.zeros((n,), jnp.int32)
     gid = jnp.zeros((n,), jnp.int32)
     fn = loader._generate_jit
-    dt = timeit(lambda r: (jr.PRNGKey(r + 2), oid, vid, gid), fn)
+    dt = timeit(lambda r: (jr.PRNGKey(r + 2), oid, vid, gid), fn, reps=10)
     return {"metric": "pose_generator_poses_per_sec", "value": round(n / dt, 1),
             "unit": "poses/s", "detail": f"n={n} incl. 3-iter GrabNet refine + chamfer"}
 
@@ -100,7 +102,7 @@ def bench_chamfer(B=256, N=778, M=10000):
     x = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     y = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
     fn = jax.jit(lambda a, b: chamfer_distance(a, b))
-    dt = timeit(lambda r: (x + 0.001 * r, y), fn)
+    dt = timeit(lambda r: (x + 0.001 * r, y), fn, reps=10)
     return {"metric": "chamfer_778x10k_pairs_per_sec", "value": round(B / dt, 1),
             "unit": "samples/s", "detail": f"B={B}"}
 
@@ -147,7 +149,7 @@ def bench_train_step(B=128):
     for _ in range(reps):
         state, _, losses = step(state, sharded, key)
     jax.block_until_ready(losses["final_loss"])
-    dt = (time.time() - t0) / reps - DISPATCH_FLOOR
+    dt = (time.time() - t0 - DISPATCH_FLOOR) / reps
     return {"metric": "train_step_images_per_sec", "value": round(B / dt, 1),
             "unit": "images/s", "detail": f"B={B} fwd+bwd+adam, donated"}
 
