@@ -1,0 +1,54 @@
+"""Codalab submission dump: JSON structure, joint reorder + axis flips,
+zip packaging (parity: hodata_submit_epoch_pass.py:34-56,129-145)."""
+import json
+import os
+import zipfile
+
+import jax
+import numpy as np
+
+from artiboost_tpu.metrics.evaluator import build_evaluator
+from artiboost_tpu.submit.epoch_pass import SubmitEpochPass
+from artiboost_tpu.utils.transform import MANO_TO_OPENPOSE_ORDER
+
+
+class _Arg:
+    submit_dump = True
+    postprocess_fit_mesh = False
+    postprocess_fit_mesh_use_fitted_joints = False
+
+
+def test_dump_json_and_flips(tmp_path):
+    B = 4
+    rng = np.random.RandomState(0)
+    joints = rng.randn(B, 21, 3).astype(np.float32)
+    batch = {"image": np.zeros((B, 8, 8, 3), np.float32)}
+
+    def eval_step(state, b, key):
+        return {"joints_3d_abs": joints}, {}
+
+    pass_ = SubmitEpochPass.build("hodata", arg=_Arg())
+    evaluator = build_evaluator([], {})
+    dump = str(tmp_path / "pred_ho3d.json")
+    pass_(0, eval_step, state=None, data_loader=[batch], evaluator=evaluator,
+          dump_path=dump)
+
+    assert os.path.isfile(dump)
+    assert os.path.isfile(dump.replace(".json", ".zip"))
+    with open(dump) as f:
+        xyz, verts = json.load(f)
+    assert len(xyz) == B and len(verts) == B
+    assert len(xyz[0]) == 21 and len(xyz[0][0]) == 3
+    assert len(verts[0]) == 778
+
+    # joint 0 (wrist maps to itself in both orders): codalab = (x, -y, -z)
+    reorder = list(MANO_TO_OPENPOSE_ORDER)
+    unorder = np.argsort(reorder)
+    expect = joints[:, unorder].copy()
+    got = np.asarray(xyz[0])
+    np.testing.assert_allclose(got[:, 0], expect[0, :, 0], atol=1e-4)
+    np.testing.assert_allclose(got[:, 1], -expect[0, :, 1], atol=1e-4)
+    np.testing.assert_allclose(got[:, 2], -expect[0, :, 2], atol=1e-4)
+
+    with zipfile.ZipFile(dump.replace(".json", ".zip")) as zf:
+        assert zf.namelist() == ["pred_ho3d.json"]
