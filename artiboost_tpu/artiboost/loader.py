@@ -164,6 +164,7 @@ class ArtiBoostLoader:
             html_path=rend_cfg.get("HTML_PATH", "data/HTML_supp"))
         synth_fn = make_synth_batch_fn(self.mano_model, self.obj_lib, self.assets,
                                        self.synth_cfg)
+        self.synth_batch_fn = synth_fn  # raw, for fusion into the train step
         if mesh is not None:
             # per-batch render shards over data: each chip rasterizes its
             # slice of the synth half-batch
@@ -220,10 +221,12 @@ class ArtiBoostLoader:
         if real_len == 0:
             n_synth = self.batch_size
         elif self.mesh is not None and n_synth:
-            # sharded synth render needs the synth slice to tile the mesh
+            # sharded synth render needs the synth slice to tile the mesh;
+            # round to the nearest multiple (keeping at least one per chip
+            # and at least one real slice when real data exists)
             n_data = int(self.mesh.shape["data"])
-            n_synth = max(-(-n_synth // n_data) * n_data, n_data)
-            n_synth = min(n_synth, self.batch_size)
+            n_synth = max(int(round(n_synth / n_data)) * n_data, n_data)
+            n_synth = min(n_synth, max(self.batch_size - n_data, n_data))
         return self.batch_size - n_synth, n_synth
 
     def __len__(self) -> int:
@@ -260,6 +263,30 @@ class ArtiBoostLoader:
                         [jnp.asarray(parts[0][k]), jnp.asarray(parts[1][k])], axis=0)
                     for k in keys
                 }
+
+    def iter_parts(self) -> Iterator:
+        """Yield (real_batch | None, synth_idx | None) pairs for the fused
+        train step (``parallel.make_fused_train_step``): the synth half is
+        NOT rendered here — the fused step renders it inside the same
+        device program as fwd/bwd."""
+        n_real, n_synth = self._mixed_counts()
+        real_len = len(self.real_dataset) if self.real_dataset is not None else 0
+        real_perm = np.random.RandomState(
+            int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
+        ).permutation(max(real_len, 1))
+        real_ptr = 0
+        for _ in range(len(self)):
+            real_batch = None
+            if n_real and self.real_dataset is not None:
+                idx = [real_perm[(real_ptr + i) % real_len] for i in range(n_real)]
+                real_ptr += n_real
+                real_batch = self.real_dataset.sample_batch(idx)
+            sidx = None
+            if n_synth and self.generated is not None:
+                k_idx = self._next_key()
+                sidx = jax.random.randint(
+                    k_idx, (n_synth,), 0, self.generated.obj_id.shape[0])
+            yield real_batch, sidx
 
     # ------------------------------------------------------------------
     # mining

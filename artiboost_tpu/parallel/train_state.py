@@ -128,6 +128,67 @@ def make_train_step(
     )
 
 
+def make_fused_train_step(
+    arch,
+    criterion,
+    optimizer: optax.GradientTransformation,
+    synth_fn: Callable,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """-> step(state, real_batch, gen, sidx, key) -> (state, preds, losses, batch).
+
+    One device program per training step: renders the synthetic half-batch
+    (``synth_fn(key, gen, sidx)``), concatenates it with the real half
+    along batch, and runs fwd/bwd/adam — XLA overlaps the rasterizer's VPU
+    work with the CNN's MXU work, and the per-step host round-trip for the
+    separate synth dispatch disappears (SURVEY §7.8: synth batches flow
+    straight into the train step).
+    """
+
+    def assemble(real_batch: Optional[Dict], gen, sidx, key) -> Dict:
+        synth = synth_fn(key, gen, sidx)
+        if not real_batch:
+            return synth
+        keys = set(real_batch.keys()) & set(synth.keys())
+        return {k: jnp.concatenate(
+            [jnp.asarray(real_batch[k]), jnp.asarray(synth[k])], axis=0)
+            for k in keys}
+
+    def step(state: TrainState, real_batch: Optional[Dict], gen, sidx,
+             key: jax.Array):
+        k_synth, k_loss = jax.random.split(key)
+        batch = assemble(real_batch, gen, sidx, k_synth)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = arch.apply(variables, batch, train=True,
+                             mutable=["batch_stats"] if state.batch_stats else [])
+            preds, mutated = out if isinstance(out, tuple) else (out, {})
+            total, losses = criterion.compute_losses(preds, batch, k_loss)
+            return total, (preds, losses, mutated.get("batch_stats", state.batch_stats))
+
+        (_, (preds, losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, preds, losses, batch
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl, data, repl),
+        out_shardings=(repl, data, repl, data),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(arch, criterion=None, mesh: Optional[Mesh] = None) -> Callable:
     """-> eval_step(state, batch, key) -> (preds, losses)."""
 

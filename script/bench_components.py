@@ -31,14 +31,15 @@ def timeit(make_args, fn, reps=5):
     call can re-specialize on donated buffer layouts)."""
     jax.block_until_ready(fn(*make_args(-2)))
     jax.block_until_ready(fn(*make_args(-1)))
+    # the tunnel materializes results lazily: an unfetched dispatch may
+    # never execute, so every rep must block (and pays the floor once)
+    args = [jax.block_until_ready(jax.tree_util.tree_map(jnp.asarray, a))
+            for a in (make_args(r) for r in range(reps))]
     t0 = time.time()
-    for r in range(reps):
-        out = fn(*make_args(r))
-    jax.block_until_ready(out)
+    for a in args:
+        jax.block_until_ready(fn(*a))
     total = time.time() - t0
-    # reps queue asynchronously: one blocking round-trip pays the tunnel
-    # floor once, so subtract it from the total, not from each rep
-    return max(total - DISPATCH_FLOOR, 1e-9) / reps
+    return max(total / reps - DISPATCH_FLOOR, 1e-9)
 
 
 def bench_rasterizer(B=64, size=224):
@@ -148,8 +149,8 @@ def bench_train_step(B=128):
     reps = 5
     for _ in range(reps):
         state, _, losses = step(state, sharded, key)
-    jax.block_until_ready(losses["final_loss"])
-    dt = (time.time() - t0 - DISPATCH_FLOOR) / reps
+        jax.block_until_ready(losses["final_loss"])
+    dt = (time.time() - t0) / reps - DISPATCH_FLOOR
     return {"metric": "train_step_images_per_sec", "value": round(B / dt, 1),
             "unit": "images/s", "detail": f"B={B} fwd+bwd+adam, donated"}
 

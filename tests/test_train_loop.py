@@ -84,3 +84,53 @@ def test_train_step_sharded_on_mesh(rng, key):
     # a second step continues fine (donation path)
     state3, _, losses3 = step(state2, sharded, key)
     assert int(state3.step) == 2
+
+
+@pytest.mark.slow
+def test_fused_train_step_mixed_batch():
+    """Fused render+train step: synth half rendered inside the same device
+    program as fwd/bwd, merged batch carries both real and synth ids."""
+    import jax.numpy as jnp
+
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+    from artiboost_tpu.criterions import build_criterion
+    from artiboost_tpu.datasets.hoquery import SynthQueries
+    from artiboost_tpu.datasets.synthetic import SyntheticHO
+    from artiboost_tpu.models import build_arch
+    from artiboost_tpu.parallel import (
+        build_optimizer, create_train_state, get_mesh, make_fused_train_step,
+    )
+    from train.train_artiboost import _ensure_synth_ids, _to_device_batch
+
+    cfg = load_config(CFG_PATH)
+    mesh = get_mesh()
+    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+    criterion = build_criterion(cfg)
+    optimizer, _ = build_optimizer(cfg["TRAIN"])
+
+    real_data = SyntheticHO(DATA_PRESET=cfg["DATA_PRESET"], DATA_SPLIT="train",
+                            AUG=False, AUG_PARAM=None, N_SAMPLES=32, RAW_SIZE=256)
+    manager_cfg = dict(cfg["MANAGER"])
+    manager_cfg["DATA_PRESET"] = cfg["DATA_PRESET"]
+    loader = ArtiBoostLoader(real_dataset=real_data, cfg=manager_cfg,
+                             batch_size=16, mesh=mesh, seed=0)
+    loader.prepare()
+
+    real_batch, sidx = next(iter(loader.iter_parts()))
+    assert real_batch is not None and sidx is not None
+    n_real = real_batch["image"].shape[0]
+    n_synth = sidx.shape[0]
+    assert n_real + n_synth == 16
+
+    real_batch = _ensure_synth_ids(_to_device_batch(real_batch))
+    init_batch = real_batch  # shapes suffice for init
+    state = create_train_state(arch, optimizer, init_batch, jax.random.PRNGKey(0))
+    fused = make_fused_train_step(arch, criterion, optimizer,
+                                  loader.synth_batch_fn, mesh)
+    state, preds, losses, batch = fused(state, real_batch, loader.generated,
+                                        sidx, jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+    assert np.isfinite(float(losses["final_loss"]))
+    is_synth = np.asarray(batch[SynthQueries.IS_SYNTH])
+    assert (is_synth[:n_real] == 0).all() and (is_synth[n_real:] == 1).all()
+    assert batch["image"].shape[0] == 16

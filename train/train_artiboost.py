@@ -36,6 +36,7 @@ from artiboost_tpu.parallel import (
     create_train_state,
     get_mesh,
     make_eval_step,
+    make_fused_train_step,
     make_train_step,
     build_optimizer,
     shard_batch,
@@ -65,24 +66,46 @@ def _ensure_synth_ids(batch):
 
 
 def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
-               epoch=0, mesh=None, log_every=20, profiler_cfg=None):
+               epoch=0, mesh=None, log_every=20, profiler_cfg=None,
+               fused_step=None, artiboost_loader=None):
+    """One epoch. When ``fused_step`` is given (TRAIN with online synthesis),
+    iterate (real, synth_idx) parts and render+train in one device program;
+    otherwise iterate fully-formed batches."""
     evaluator.reset_all()
     t0 = time.time()
     n_batches = 0
-    bar = etqdm(loader, total=len(loader) if hasattr(loader, "__len__") else None,
+    use_fused = (fused_step is not None and mode == TrainMode.TRAIN
+                 and artiboost_loader is not None
+                 and artiboost_loader.use_synth
+                 and artiboost_loader.generated is not None)
+    iterable = artiboost_loader.iter_parts() if use_fused else loader
+    bar = etqdm(iterable, total=len(loader) if hasattr(loader, "__len__") else None,
                 desc=f"{mode.name} {epoch}")
-    for bidx, batch in enumerate(bar):
+    for bidx, item in enumerate(bar):
         key, sub = jax.random.split(key)
         if profiler_cfg and epoch == 0 and bidx == 1:  # skip compile step
             profiling.start_trace(profiler_cfg[0])
         with profiling.step_trace(mode.name.lower(), int(state.step)):
-            batch = _ensure_synth_ids(_to_device_batch(batch))
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            if mode == TrainMode.TRAIN:
-                state, preds, losses = step_fn(state, batch, sub)
+            if use_fused:
+                real_batch, sidx = item
+                if sidx is not None:
+                    real_batch = {} if real_batch is None else \
+                        _ensure_synth_ids(_to_device_batch(real_batch))
+                    state, preds, losses, batch = fused_step(
+                        state, real_batch, artiboost_loader.generated, sidx, sub)
+                else:  # synth exhausted/shutdown: plain real step
+                    batch = _ensure_synth_ids(_to_device_batch(real_batch))
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, preds, losses = step_fn(state, batch, sub)
             else:
-                preds, losses = step_fn(state, batch, sub)
+                batch = _ensure_synth_ids(_to_device_batch(item))
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                if mode == TrainMode.TRAIN:
+                    state, preds, losses = step_fn(state, batch, sub)
+                else:
+                    preds, losses = step_fn(state, batch, sub)
         if profiler_cfg and epoch == 0 and bidx == profiler_cfg[1]:
             profiling.stop_trace()
         evaluator.feed_all(preds, batch, losses)
@@ -165,17 +188,22 @@ def main_worker(arg, cfg, extra):
         logger.info(f"resumed from epoch {epoch_start}")
 
     train_step = make_train_step(arch, criterion, optimizer, mesh)
+    fused_step = make_fused_train_step(arch, criterion, optimizer,
+                                       artiboost_loader.synth_batch_fn, mesh)
     eval_step = make_eval_step(arch, criterion, mesh)
 
     # ---- epochs ----
-    profiler_cfg = (arg.profile_dir, arg.profile_steps) if arg.profile_dir else None
+    profile_dir = getattr(arg, "profile_dir", None)
+    profiler_cfg = (profile_dir, getattr(arg, "profile_steps", 20)) if profile_dir else None
     for epoch in range(epoch_start, n_epochs):
         with profiling.trace("artiboost/prepare"):
             artiboost_loader.prepare()
         state, rng = epoch_pass(TrainMode.TRAIN, artiboost_loader, state,
                                 train_step, evaluator, rng,
                                 summarizer, epoch, mesh,
-                                profiler_cfg=profiler_cfg)
+                                profiler_cfg=profiler_cfg,
+                                fused_step=fused_step,
+                                artiboost_loader=artiboost_loader)
         profiling.stop_trace()  # no-op unless a short epoch left it running
         artiboost_loader.step_eval(epoch, evaluator)
         summarizer.summarize_evaluator(evaluator, epoch, "train")
