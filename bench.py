@@ -66,11 +66,13 @@ def main():
         return acc
 
     img = batch[Queries.IMAGE]
-    jax.block_until_ready(k_evals(variables, img, jnp.asarray(0.0)))  # compile
+    # float() fetches the scalar: on the axon tunnel only a fetch is
+    # guaranteed to force execution (block_until_ready may be lazy)
+    float(k_evals(variables, img, jnp.asarray(0.0)))  # compile
     reps = 5
     t0 = time.time()
     for r in range(reps):
-        jax.block_until_ready(k_evals(variables, img, jnp.asarray(float(r + 1))))
+        float(k_evals(variables, img, jnp.asarray(float(r + 1))))
     dt = (time.time() - t0) / reps
     per_step = (dt - 0.028) / K_STEPS  # subtract the tunnel dispatch floor
     img_per_sec = BATCH / per_step

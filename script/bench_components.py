@@ -29,15 +29,20 @@ def timeit(make_args, fn, reps=5):
     """fn(*make_args(r)) timed over reps with per-rep varying inputs (the
     tunnel caches identical executions) and 2 warmups (first post-compile
     call can re-specialize on donated buffer layouts)."""
-    jax.block_until_ready(fn(*make_args(-2)))
-    jax.block_until_ready(fn(*make_args(-1)))
-    # the tunnel materializes results lazily: an unfetched dispatch may
-    # never execute, so every rep must block (and pays the floor once)
+    def fetch(out):
+        # the tunnel materializes lazily: block_until_ready alone does not
+        # force execution — fetch one scalar from the first array leaf
+        leaf = next(x for x in jax.tree_util.tree_leaves(out)
+                    if hasattr(x, "dtype"))
+        return float(jnp.ravel(leaf)[0])
+
+    fetch(fn(*make_args(-2)))
+    fetch(fn(*make_args(-1)))
     args = [jax.block_until_ready(jax.tree_util.tree_map(jnp.asarray, a))
             for a in (make_args(r) for r in range(reps))]
     t0 = time.time()
     for a in args:
-        jax.block_until_ready(fn(*a))
+        fetch(fn(*a))
     total = time.time() - t0
     return max(total / reps - DISPATCH_FLOOR, 1e-9)
 
@@ -144,12 +149,12 @@ def bench_train_step(B=128):
     # twice (the first post-compile call re-specializes donated layouts)
     for _ in range(2):
         state, _, losses = step(state, sharded, key)
-    jax.block_until_ready(losses["final_loss"])
+    float(losses["final_loss"])  # fetch forces execution on the lazy tunnel
     t0 = time.time()
     reps = 5
     for _ in range(reps):
         state, _, losses = step(state, sharded, key)
-        jax.block_until_ready(losses["final_loss"])
+        float(losses["final_loss"])
     dt = (time.time() - t0) / reps - DISPATCH_FLOOR
     return {"metric": "train_step_images_per_sec", "value": round(B / dt, 1),
             "unit": "images/s", "detail": f"B={B} fwd+bwd+adam, donated"}
