@@ -52,9 +52,12 @@ def _pack_faces(sf, n_chunks: int) -> jnp.ndarray:
     valid = _p(sf.valid)
     bbox = _p(sf.bbox)
 
+    # fold face validity into the first edge constant: invalid faces get
+    # lam0 = -BIG so the inside test rejects them with no extra mask op
+    ec0 = jnp.where(valid > 0, ec[:, 0], -_BIG)
     rows = [ea[:, 0], ea[:, 1], ea[:, 2],
             eb[:, 0], eb[:, 1], eb[:, 2],
-            ec[:, 0], ec[:, 1], ec[:, 2],
+            ec0, ec[:, 1], ec[:, 2],
             iz[:, 0], iz[:, 1], iz[:, 2],
             aoz[:, 0, 0], aoz[:, 1, 0], aoz[:, 2, 0],
             aoz[:, 0, 1], aoz[:, 1, 1], aoz[:, 2, 1],
@@ -75,31 +78,31 @@ def _raster_kernel(ranges_ref, packed_ref, out_ref, *, width: int, tile_px: int,
     x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
     y = (pix // width).astype(jnp.float32) + 0.5
 
+    # per-lane multiplicative depth bias (<= 1.5e-5 relative) makes the
+    # in-chunk argmax a single winner, killing the tie-count reduction;
+    # ties across lanes then break toward the higher lane deterministically
+    lane_bias = 1.0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANE), 1).astype(jnp.float32) * (2.0 ** -23)
+
     def chunk_body(c, carry):
         best_w, best_r, best_g, best_b = carry
         fd = packed_ref[0, c]  # (24, LANE)
         lam0 = x * fd[0:1, :] + y * fd[3:4, :] + fd[6:7, :]
         lam1 = x * fd[1:2, :] + y * fd[4:5, :] + fd[7:8, :]
         lam2 = x * fd[2:3, :] + y * fd[5:6, :] + fd[8:9, :]
-        inside = (
-            (lam0 >= _EPS_EDGE) & (lam1 >= _EPS_EDGE) & (lam2 >= _EPS_EDGE)
-            & (fd[21:22, :] > 0)
-        )
+        lmin = jnp.minimum(lam0, jnp.minimum(lam1, lam2))
         w = lam0 * fd[9:10, :] + lam1 * fd[10:11, :] + lam2 * fd[11:12, :]
-        w = jnp.where(inside, w, -_BIG)
+        w = jnp.where(lmin >= _EPS_EDGE, w * lane_bias, -_BIG)
         m = jnp.max(w, axis=1, keepdims=True)  # (TP, 1)
         improve = m > best_w
-        sel = (w >= m) & inside  # argmax incl. ties
-        seln = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
-        inv_n = 1.0 / jnp.maximum(seln, 1.0)
-        self_ = sel.astype(jnp.float32)
+        sel = (w == m).astype(jnp.float32)  # single winner (bias breaks ties)
 
         r = lam0 * fd[12:13, :] + lam1 * fd[13:14, :] + lam2 * fd[14:15, :]
         g = lam0 * fd[15:16, :] + lam1 * fd[16:17, :] + lam2 * fd[17:18, :]
         bch = lam0 * fd[18:19, :] + lam1 * fd[19:20, :] + lam2 * fd[20:21, :]
-        r_m = jnp.sum(self_ * r, axis=1, keepdims=True) * inv_n
-        g_m = jnp.sum(self_ * g, axis=1, keepdims=True) * inv_n
-        b_m = jnp.sum(self_ * bch, axis=1, keepdims=True) * inv_n
+        r_m = jnp.sum(sel * r, axis=1, keepdims=True)
+        g_m = jnp.sum(sel * g, axis=1, keepdims=True)
+        b_m = jnp.sum(sel * bch, axis=1, keepdims=True)
 
         best_r = jnp.where(improve, r_m, best_r)
         best_g = jnp.where(improve, g_m, best_g)
