@@ -203,6 +203,14 @@ class ArtiBoostLoader:
         oid, vid, gid, occ = sample_triplets(
             self.ccv, k_sample, self.config_len_train, replace=True)
         self.ccv = self.ccv._replace(occurrence_map=occ)
+        if self.mesh is not None:
+            # sample_triplets outputs commit to whatever sharding its inputs
+            # had (replicated after a mining update); the sharded pose sweep
+            # wants them split over the data axis
+            from artiboost_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            oid, vid, gid = (jax.device_put(x, sh) for x in (oid, vid, gid))
         self.generated = self._generate_jit(k_gen, oid, vid, gid)
 
     def generate_render_cache(self, is_train: bool = True):
@@ -229,6 +237,15 @@ class ArtiBoostLoader:
             n_synth = min(n_synth, max(self.batch_size - n_data, n_data))
         return self.batch_size - n_synth, n_synth
 
+    def _sample_synth_idx(self, key: jax.Array, n_synth: int) -> jax.Array:
+        sidx = jax.random.randint(key, (n_synth,), 0,
+                                  self.generated.obj_id.shape[0])
+        if self.mesh is not None:
+            from artiboost_tpu.parallel.mesh import batch_sharding
+
+            sidx = jax.device_put(sidx, batch_sharding(self.mesh))
+        return sidx
+
     def __len__(self) -> int:
         real_len = len(self.real_dataset) if self.real_dataset is not None else 0
         synth_len = self.config_len_train if self.use_synth else 0
@@ -249,8 +266,7 @@ class ArtiBoostLoader:
                 parts.append(self.real_dataset.sample_batch(idx))
             if n_synth and self.generated is not None:
                 k_idx, k_batch = jax.random.split(self._next_key())
-                sidx = jax.random.randint(
-                    k_idx, (n_synth,), 0, self.generated.obj_id.shape[0])
+                sidx = self._sample_synth_idx(k_idx, n_synth)
                 parts.append(self._synth_batch_jit(k_batch, self.generated, sidx))
             if not parts:
                 raise RuntimeError("ArtiBoostLoader has neither real nor synth data")
@@ -283,9 +299,7 @@ class ArtiBoostLoader:
                 real_batch = self.real_dataset.sample_batch(idx)
             sidx = None
             if n_synth and self.generated is not None:
-                k_idx = self._next_key()
-                sidx = jax.random.randint(
-                    k_idx, (n_synth,), 0, self.generated.obj_id.shape[0])
+                sidx = self._sample_synth_idx(self._next_key(), n_synth)
             yield real_batch, sidx
 
     # ------------------------------------------------------------------

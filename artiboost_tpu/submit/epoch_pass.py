@@ -47,6 +47,11 @@ class HOSubmitEpochPass(SubmitEpochPass):
         self.fit_mesh_use_fitted_joints = bool(
             getattr(arg, "postprocess_fit_mesh_use_fitted_joints", False)) if arg else False
         self.fitting_unit = fitting_unit
+        self.draw = bool(getattr(arg, "postprocess_draw", False)) if arg \
+            else cfg.get("DRAW", False)
+        self.draw_path = (getattr(arg, "postprocess_draw_path", None) if arg
+                          else cfg.get("DRAW_PATH")) or "exp/draw"
+        self.draw_max_batches = int(cfg.get("DRAW_MAX_BATCHES", 4))
 
     @staticmethod
     def get_order_idxs():
@@ -72,6 +77,38 @@ class HOSubmitEpochPass(SubmitEpochPass):
                 zf.write(pred_out_path, os.path.basename(pred_out_path))
             logger.warning(f"finished — submit {zipped} to Codalab for evaluation")
 
+    def draw_batch(self, bidx: int, batch, preds, fitted_verts=None) -> None:
+        """Save qualitative overlays for a batch (parity:
+        ``anakin/submit/hodata_submit_epoch_pass.py:158-222`` — OpenDR mesh
+        renders replaced by host-side skeleton/corner/wireframe overlays
+        from ``artiboost_tpu.viztools``)."""
+        from PIL import Image
+
+        from artiboost_tpu.datasets.hoquery import Queries
+        from artiboost_tpu.mano.model import get_mano_model
+        from artiboost_tpu.viztools import (draw_corners_2d, draw_mesh_wireframe,
+                                            draw_skeleton_2d, image_grid,
+                                            project_points)
+
+        os.makedirs(self.draw_path, exist_ok=True)
+        imgs = np.asarray(batch[Queries.IMAGE]) + 0.5
+        intr = np.asarray(batch[Queries.CAM_INTR])
+        joints = np.asarray(preds["joints_3d_abs"])
+        corners = np.asarray(preds.get("corners_3d_abs")) \
+            if "corners_3d_abs" in preds else None
+        tiles = []
+        for i in range(min(imgs.shape[0], 16)):
+            tile = Image.fromarray((imgs[i] * 255).clip(0, 255).astype(np.uint8))
+            draw_skeleton_2d(tile, project_points(joints[i], intr[i]))
+            if corners is not None:
+                draw_corners_2d(tile, project_points(corners[i], intr[i]))
+            if fitted_verts is not None:
+                draw_mesh_wireframe(tile, fitted_verts[i],
+                                    np.asarray(get_mano_model().faces), intr[i])
+            tiles.append(np.asarray(tile))
+        grid = image_grid(tiles, ncol=4)
+        grid.save(os.path.join(self.draw_path, f"eval_batch_{bidx:04d}.png"))
+
     def __call__(self, epoch_idx: int, eval_step, state, data_loader, evaluator,
                  dump_path: Optional[str] = None, rng: Optional[jax.Array] = None):
         """Run eval; collect Codalab-ordered joints/verts if dumping."""
@@ -79,14 +116,14 @@ class HOSubmitEpochPass(SubmitEpochPass):
         res_joints: List[np.ndarray] = []
         res_verts: List[np.ndarray] = []
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        for batch in data_loader:
+        for bidx, batch in enumerate(data_loader):
             rng, sub = jax.random.split(rng)
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if not isinstance(v, (str, list))}
             preds, losses = eval_step(state, batch, sub)
             evaluator.feed_all(preds, batch, losses)
 
-            if self.dump or self.fit_mesh:
+            if self.dump or self.fit_mesh or self.draw:
                 pred_joints = np.asarray(preds["joints_3d_abs"])
                 fitted_verts = None
                 if self.fit_mesh and self.fitting_unit is not None:
@@ -94,6 +131,10 @@ class HOSubmitEpochPass(SubmitEpochPass):
                     fitted_verts = np.asarray(fitted["hand_verts"])
                     if self.fit_mesh_use_fitted_joints:
                         pred_joints = np.asarray(fitted["joints"])
+                if self.draw and bidx < self.draw_max_batches:
+                    self.draw_batch(bidx, batch, preds, fitted_verts)
+                if not (self.dump or self.fit_mesh):
+                    continue
                 # HO3D Codalab convention: MANO-native joint order, y/z flip
                 pj = pred_joints[:, unorder_idxs]
                 pj[:, :, 0] = -pj[:, :, 0]

@@ -52,3 +52,33 @@ def test_dump_json_and_flips(tmp_path):
 
     with zipfile.ZipFile(dump.replace(".json", ".zip")) as zf:
         assert zf.namelist() == ["pred_ho3d.json"]
+
+
+def test_draw_batch(tmp_path):
+    class _DrawArg(_Arg):
+        submit_dump = False
+        postprocess_draw = True
+        postprocess_draw_path = None
+
+    B = 4
+    rng = np.random.RandomState(0)
+    arg = _DrawArg()
+    arg.postprocess_draw_path = str(tmp_path / "draw")
+    pass_ = SubmitEpochPass.build("hodata", arg=arg)
+    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    batch = {"image": rng.rand(B, 224, 224, 3).astype(np.float32) - 0.5,
+             "cam_intr": intr}
+
+    def eval_step(state, b, key):
+        return {"joints_3d_abs": rng.randn(B, 21, 3).astype(np.float32) * 0.05
+                + [0, 0, 0.5],
+                "corners_3d_abs": rng.randn(B, 8, 3).astype(np.float32) * 0.05
+                + [0, 0, 0.5]}, {}
+
+    from artiboost_tpu.metrics.evaluator import build_evaluator
+    pass_(0, eval_step, state=None, data_loader=[batch],
+          evaluator=build_evaluator([], {}))
+    import os
+    files = os.listdir(arg.postprocess_draw_path)
+    assert files == ["eval_batch_0000.png"]

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+import artiboost_tpu.datasets  # noqa: F401  (registers all dataset types)
 from artiboost_tpu.criterions import build_criterion
 from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.metrics import build_evaluator

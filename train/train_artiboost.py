@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import artiboost_tpu.datasets  # noqa: F401  (registers all dataset types)
 from artiboost_tpu.artiboost import ArtiBoostLoader
 from artiboost_tpu.criterions import build_criterion
 from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
