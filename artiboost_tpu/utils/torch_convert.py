@@ -135,6 +135,45 @@ def convert_mlp(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
     return params
 
 
+def convert_dense_bn_stack(sd: Dict[str, np.ndarray], prefix: str = ""
+                           ) -> Tuple[Dict, Dict]:
+    """Torch (Linear, BatchNorm1d)* + Linear stack -> flax Dense_i /
+    BatchNorm_i params+stats (the IKNet layout,
+    ``anakin/postprocess/iknet/model.py:6-35``). Layers pair by order of
+    their numeric keys; trailing Linears without a following BN are the
+    head(s)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def order_key(k):
+        return [int(x) for x in re.findall(r"\d+", k[len(prefix):])]
+
+    lin = sorted((k for k in sd if k.startswith(prefix) and k.endswith(".weight")
+                  and sd[k].ndim == 2), key=order_key)
+    bns = sorted((k for k in sd if k.startswith(prefix)
+                  and k.endswith(".running_mean")), key=order_key)
+    for i, k in enumerate(lin):
+        base = k[: -len(".weight")]
+        params[f"Dense_{i}"] = {"kernel": linear_kernel(sd[k])}
+        if base + ".bias" in sd:
+            params[f"Dense_{i}"]["bias"] = sd[base + ".bias"]
+    for i, k in enumerate(bns):
+        base = k[: -len(".running_mean")]
+        params[f"BatchNorm_{i}"] = {"scale": sd[base + ".weight"],
+                                    "bias": sd[base + ".bias"]}
+        stats[f"BatchNorm_{i}"] = {"mean": sd[base + ".running_mean"],
+                                   "var": sd[base + ".running_var"]}
+    return params, stats
+
+
+def convert_iknet(path: str) -> Dict:
+    """Released IKNet torch checkpoint -> flax variables for
+    ``artiboost_tpu.postprocess.iknet.IKNet``."""
+    sd = load_torch_state_dict(path)
+    params, stats = convert_dense_bn_stack(sd)
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_hybrid_baseline(path: str) -> Dict:
     """Released HybridBaseline .pth.tar -> flax variables dict."""
     sd = load_torch_state_dict(path)

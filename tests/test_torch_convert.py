@@ -145,3 +145,44 @@ def test_convert_mlp_ordering():
     assert params["Dense_0"]["kernel"].shape == (8, 4)
     assert params["Dense_1"]["kernel"].shape == (4, 2)
     assert params["Dense_2"]["kernel"].shape == (2, 1)  # numeric sort, not lexical
+
+
+def test_iknet_stack_conversion_parity():
+    """Torch (Linear+BN1d+ReLU)*2 + Linear head == flax IKNet with
+    converted weights (eval mode, randomized running stats)."""
+    from artiboost_tpu.postprocess.iknet import IKNet
+    from artiboost_tpu.utils.torch_convert import convert_dense_bn_stack
+
+    hidden = (8, 16)
+
+    class TorchIK(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, cin = [], 63
+            for h in hidden:
+                layers += [torch.nn.Linear(cin, h), torch.nn.BatchNorm1d(h),
+                           torch.nn.ReLU()]
+                cin = h
+            layers.append(torch.nn.Linear(cin, 64))
+            self.net = torch.nn.Sequential(*layers)
+
+        def forward(self, x):
+            q = self.net(x).reshape(-1, 16, 4)
+            return q / q.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+
+    tm = TorchIK().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+
+    joints = torch.randn(3, 21, 3) * 0.1
+    ref = _np(tm(joints.reshape(3, 63)))
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_dense_bn_stack(sd)
+    fik = IKNet(hidden_size_pose=hidden)
+    _, quat = fik.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(_np(joints)), train=False)
+    np.testing.assert_allclose(np.asarray(quat), ref, **TOL)
