@@ -101,6 +101,24 @@ class Recorder:
         return blob
 
     # ------------------------------------------------------------------
+    def record_arch(self, arch) -> None:
+        """Text + DOT dump of the model DAG (parity: recorder.py:150-156's
+        networkx arch.png, without the graphviz dependency)."""
+        path = os.path.join(self.dump_path, "arch")
+        edges = arch.to_graph()
+        with open(path + ".txt", "w") as f:
+            f.write("nodes: " + ", ".join(arch.names) + "\n")
+            for a, b in edges:
+                f.write(f"{a} -> {b}\n")
+        with open(path + ".dot", "w") as f:
+            f.write("digraph arch {\n")
+            for n in arch.names:
+                f.write(f'  "{n}";\n')
+            for a, b in edges:
+                f.write(f'  "{a}" -> "{b}";\n')
+            f.write("}\n")
+
+    # ------------------------------------------------------------------
     def record_evaluator(self, evaluator, epoch: int, split: str = "train"):
         """Text + json dump of scalar measures (recorder.py:125-148)."""
         measures = evaluator.get_measures_all_striped()

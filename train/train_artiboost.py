@@ -153,6 +153,7 @@ def main_worker(arg, cfg, extra):
 
     # ---- model / criterion / evaluators ----
     arch = build_arch(cfg["ARCH"], data_preset)
+    recorder.record_arch(arch)
     criterion = build_criterion(cfg)
     manager_cfg = dict(cfg.get("MANAGER", {}))
     manager_cfg.setdefault("DATA_PRESET", data_preset)
