@@ -216,6 +216,8 @@ def render_scene(
     height: int,
     width: int,
     ambient: float = 0.8,
+    cull_backfaces: bool = False,  # enable for closed, consistently-wound
+                                   # meshes (real MANO/YCB): ~1.4x raster
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -234,7 +236,8 @@ def render_scene(
     vs = jax.vmap(
         lambda v, K: project_verts(v, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
     )(verts, intr)
-    rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width)
+    rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width,
+                                        cull_backfaces=cull_backfaces)
 
     # random background crop (renderer.py:111-136): random position of a
     # fixed-size window in the 1.5x bank image

@@ -44,6 +44,9 @@ class SynthConfig(NamedTuple):
     scale_jit: float = 0.1
     max_rot: float = 0.2
     blur_max_sigma: float = 1.0
+    # ~1.4x raster for closed, consistently-wound meshes (real MANO/YCB);
+    # keep False for the open synthetic stand-in meshes
+    cull_backfaces: bool = False
 
 
 def _annot_center_scale(pts2d: jnp.ndarray):
@@ -144,7 +147,8 @@ def make_synth_batch_fn(
         verts, colors, faces, fvalid = compose_scene(
             hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid, obj_pose_r)
         img, depth = render_scene(
-            verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W)
+            verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
+            cull_backfaces=cfg.cull_backfaces)
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma

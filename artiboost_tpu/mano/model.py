@@ -177,6 +177,18 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     if faces.shape[0] < 1538:
         faces = np.concatenate([faces, np.tile(faces[-1:], (1538 - faces.shape[0], 1))])
 
+    # orient faces consistently outward (like the real MANO mesh) so that
+    # backface culling in the rasterizer is exercisable with this stand-in:
+    # flip any face whose normal points toward the skeleton
+    fv = verts[faces]  # (F, 3, 3)
+    normal = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    centroid = fv.mean(1)
+    nearest = np.argmin(
+        ((centroid[:, None, :] - joints[None]) ** 2).sum(-1), axis=1)
+    outward = centroid - joints[nearest]
+    flip = (normal * outward).sum(-1) < 0
+    faces[flip] = faces[flip][:, ::-1]
+
     return ManoModel(
         v_template=jnp.asarray(verts),
         shapedirs=jnp.asarray(shapedirs),

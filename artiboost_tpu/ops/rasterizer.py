@@ -59,6 +59,7 @@ def build_screen_faces(
     vert_attrs: jnp.ndarray,    # (V, A) attributes to interpolate (e.g. rgb)
     faces: jnp.ndarray,         # (F, 3) int32
     face_valid: Optional[jnp.ndarray] = None,  # (F,)
+    cull_backfaces: bool = False,
 ) -> ScreenFace:
     v = verts_screen[faces]  # (F, 3, 3)
     a = vert_attrs[faces]    # (F, 3, A)
@@ -86,6 +87,12 @@ def build_screen_faces(
     valid = jnp.ones(faces.shape[0], jnp.float32) if face_valid is None else face_valid
     # degenerate faces are never inside
     valid = valid * (jnp.abs(area) > _EPS).astype(jnp.float32)
+    if cull_backfaces:
+        # consistently-wound meshes (MANO, YCB): screen-space signed area
+        # flips sign for faces seen from behind; the z-buffer already hides
+        # them, so culling changes nothing visually but halves the face set
+        # (invalid faces y-sort to the end and their chunks are skipped)
+        valid = valid * (area > 0).astype(jnp.float32)
 
     inv_z = 1.0 / jnp.maximum(z, 1e-6)
     bbox = jnp.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=-1)

@@ -133,7 +133,7 @@ def _raster_kernel(ranges_ref, packed_ref, out_ref, *, width: int, tile_px: int,
     out_ref[0, 0, :, 3:4] = depth
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_px"))
+@partial(jax.jit, static_argnames=("height", "width", "tile_px", "cull_backfaces"))
 def rasterize_batch_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3)
     vert_attrs: jnp.ndarray,    # (B, V, 3) rgb
@@ -142,6 +142,7 @@ def rasterize_batch_pallas(
     height: int,
     width: int,
     tile_px: int = 1024,  # 2048 exceeds the 16MB VMEM scoped limit
+    cull_backfaces: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background."""
     B, V, _ = verts_screen.shape
@@ -155,9 +156,10 @@ def rasterize_batch_pallas(
         face_valid = jnp.ones((B, F), jnp.float32)
 
     faces_axis = 0 if faces.ndim == 3 else None  # per-sample topology OK
-    sf = jax.vmap(build_screen_faces, in_axes=(0, 0, faces_axis, 0))(
-        verts_screen, vert_attrs, faces, face_valid
-    )
+    sf = jax.vmap(
+        partial(build_screen_faces, cull_backfaces=cull_backfaces),
+        in_axes=(0, 0, faces_axis, 0),
+    )(verts_screen, vert_attrs, faces, face_valid)
 
     # sort faces by screen-y so each 128-face chunk is y-coherent
     ymin_key = jnp.where(sf.valid > 0, sf.bbox[..., 1], _BIG)  # (B, F)
