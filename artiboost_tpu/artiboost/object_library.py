@@ -45,9 +45,34 @@ class ObjectLibrary(NamedTuple):
         return self.faces.shape[1]
 
 
+def _find_texture(obj_path: str, mtllib: Optional[str]) -> Optional[str]:
+    d = os.path.dirname(obj_path)
+    if mtllib:
+        mtl_path = os.path.join(d, mtllib)
+        if os.path.isfile(mtl_path):
+            with open(mtl_path) as f:
+                for line in f:
+                    if line.strip().startswith("map_Kd"):
+                        cand = os.path.join(d, line.split()[-1])
+                        if os.path.isfile(cand):
+                            return cand
+    for name in ("texture_map.png", "texture.png", "texture_map.jpg", "texture.jpg"):
+        cand = os.path.join(d, name)
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
 def load_obj_file(path: str):
-    """Minimal wavefront OBJ loader -> (verts (V,3), faces (F,3), colors)."""
-    verts, faces, colors = [], [], []
+    """Minimal wavefront OBJ loader -> (verts (V,3), faces (F,3), colors).
+
+    Colors come from appended per-vertex colors when present, otherwise
+    from baking the UV texture (mtllib map_Kd or a sibling texture file,
+    YCB-style) at each vertex's first UV — the Gouraud rasterizer
+    interpolates vertex colors, so the texture fetch happens once at load
+    (mirrors what the reference's GL renderer samples per fragment)."""
+    verts, faces, colors, uvs = [], [], [], []
+    v_uv, mtllib = {}, None
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
@@ -55,14 +80,40 @@ def load_obj_file(path: str):
                 verts.append([float(x) for x in parts[1:4]])
                 if len(parts) >= 7:  # vertex colors appended
                     colors.append([float(x) for x in parts[4:7]])
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append((float(parts[1]), float(parts[2])))
+            elif line.startswith("mtllib "):
+                mtllib = line.split()[-1]
             elif line.startswith("f "):
-                idx = [p.split("/")[0] for p in line.split()[1:]]
-                idx = [int(i) - 1 for i in idx]
+                corners = line.split()[1:]
+                idx = []
+                for c in corners:
+                    sub = c.split("/")
+                    vi = int(sub[0]) - 1
+                    idx.append(vi)
+                    if len(sub) >= 2 and sub[1]:
+                        v_uv.setdefault(vi, int(sub[1]) - 1)
                 for k in range(1, len(idx) - 1):  # fan-triangulate
                     faces.append([idx[0], idx[k], idx[k + 1]])
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int32)
     colors = np.asarray(colors, np.float32) if colors else None
+
+    if colors is None and uvs and v_uv:
+        tex_path = _find_texture(path, mtllib)
+        if tex_path:
+            from PIL import Image
+
+            tex = np.asarray(Image.open(tex_path).convert("RGB"), np.float32) / 255.0
+            H, W = tex.shape[:2]
+            colors = np.full((len(verts), 3), 0.6, np.float32)
+            for vi, ti in v_uv.items():
+                if vi < len(verts) and ti < len(uvs):
+                    u, w = uvs[ti]
+                    px = min(int(u * (W - 1)), W - 1)
+                    py = min(int((1.0 - w) * (H - 1)), H - 1)
+                    colors[vi] = tex[py, px]
     return verts, faces, colors
 
 

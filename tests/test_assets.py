@@ -103,3 +103,38 @@ def test_refiner_params_roundtrip(tmp_path):
     feed = {"hand_pose": jnp.zeros((2, 48)), "hand_tsl": jnp.zeros((2, 3))}
     out = refine(feed, jnp.zeros((2, 64, 3)), jnp.ones((2, 64)))
     assert out["hand_verts"].shape == (2, 778, 3)
+
+
+def test_obj_uv_texture_bake(tmp_path):
+    from artiboost_tpu.artiboost.object_library import load_obj_file
+
+    d = tmp_path / "obj"
+    os.makedirs(d)
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = (255, 0, 0)   # left half red
+    tex[:, 4:] = (0, 0, 255)   # right half blue
+    Image.fromarray(tex).save(d / "texture_map.png")
+    obj = "\n".join([
+        "v 0 0 0", "v 1 0 0", "v 0 1 0",
+        "vt 0.1 0.5", "vt 0.9 0.5", "vt 0.1 0.5",
+        "f 1/1 2/2 3/3",
+    ])
+    (d / "model.obj").write_text(obj)
+    verts, faces, colors = load_obj_file(str(d / "model.obj"))
+    assert verts.shape == (3, 3) and faces.shape == (1, 3)
+    assert np.allclose(colors[0], [1, 0, 0], atol=0.02)
+    assert np.allclose(colors[1], [0, 0, 1], atol=0.02)
+
+
+def test_obj_vertex_colors_win(tmp_path):
+    from artiboost_tpu.artiboost.object_library import load_obj_file
+
+    d = tmp_path / "obj2"
+    os.makedirs(d)
+    obj = "\n".join([
+        "v 0 0 0 0.5 0.25 0.125", "v 1 0 0 0.5 0.25 0.125", "v 0 1 0 0.5 0.25 0.125",
+        "f 1 2 3",
+    ])
+    (d / "model.obj").write_text(obj)
+    _, _, colors = load_obj_file(str(d / "model.obj"))
+    assert np.allclose(colors, [[0.5, 0.25, 0.125]] * 3)
