@@ -1,0 +1,39 @@
+"""Prefetcher: ordering, transform-in-worker, error propagation."""
+import time
+
+import pytest
+
+from artiboost_tpu.utils.prefetch import prefetch
+
+
+def test_order_preserved():
+    assert list(prefetch(range(100), depth=4)) == list(range(100))
+
+
+def test_transform_runs_in_worker():
+    out = list(prefetch(range(5), transform=lambda x: x * 2))
+    assert out == [0, 2, 4, 6, 8]
+
+
+def test_overlaps_producer_and_consumer():
+    def slow_gen():
+        for i in range(4):
+            time.sleep(0.05)
+            yield i
+
+    t0 = time.time()
+    for _ in prefetch(slow_gen(), depth=2):
+        time.sleep(0.05)  # consumer work overlaps producer sleep
+    elapsed = time.time() - t0
+    assert elapsed < 0.35, elapsed  # serial would be ~0.4s
+
+
+def test_error_propagates():
+    def bad_gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(bad_gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)

@@ -46,6 +46,7 @@ from artiboost_tpu.utils import profiling
 from artiboost_tpu.utils.etqdm import etqdm
 from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.misc import TrainMode
+from artiboost_tpu.utils.prefetch import prefetch
 from artiboost_tpu.utils.recorder import Recorder
 from artiboost_tpu.utils.registry import DATASET, build_from_cfg
 from artiboost_tpu.utils.summarizer import Summarizer
@@ -80,6 +81,9 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
                  and artiboost_loader.use_synth
                  and artiboost_loader.generated is not None)
     iterable = artiboost_loader.iter_parts() if use_fused else loader
+    # overlap host batch assembly (decode + native warp + collate) with
+    # the device step — the DataLoader-worker role (prefetch.py)
+    iterable = prefetch(iterable, depth=2)
     bar = etqdm(iterable, total=len(loader) if hasattr(loader, "__len__") else None,
                 desc=f"{mode.name} {epoch}")
     for bidx, item in enumerate(bar):
