@@ -199,6 +199,16 @@ def main_worker(arg, cfg, extra):
     eval_step = make_eval_step(arch, criterion, mesh)
 
     # ---- epochs ----
+    if getattr(arg, "evaluate", False):
+        if test_data is None:
+            raise RuntimeError("--evaluate requires a TEST dataset")
+        test_loader = _host_loader(test_data, batch_size)
+        _, rng = epoch_pass(TrainMode.TEST, test_loader, state, eval_step,
+                            test_evaluator, rng, None, epoch_start, mesh)
+        recorder.record_evaluator(test_evaluator, epoch_start, "test")
+        summarizer.close()
+        return state
+
     profile_dir = getattr(arg, "profile_dir", None)
     profiler_cfg = (profile_dir, getattr(arg, "profile_steps", 20)) if profile_dir else None
     for epoch in range(epoch_start, n_epochs):
