@@ -282,26 +282,38 @@ class ArtiBoostLoader:
                 }
 
     def iter_parts(self) -> Iterator:
-        """Yield (real_batch | None, synth_idx | None) pairs for the fused
-        train step (``parallel.make_fused_train_step``): the synth half is
-        NOT rendered here — the fused step renders it inside the same
-        device program as fwd/bwd."""
+        """Return an iterator of (real_batch | None, synth_idx | None) pairs
+        for the fused train step (``parallel.make_fused_train_step``): the
+        synth half is NOT rendered here — the fused step renders it inside
+        the same device program as fwd/bwd.
+
+        All JAX RNG/device work happens eagerly on the calling thread so the
+        returned generator is safe to drain from a prefetch worker thread
+        (only numpy dataset decode remains inside)."""
         n_real, n_synth = self._mixed_counts()
+        n_batches = len(self)
         real_len = len(self.real_dataset) if self.real_dataset is not None else 0
         real_perm = np.random.RandomState(
             int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
         ).permutation(max(real_len, 1))
-        real_ptr = 0
-        for _ in range(len(self)):
-            real_batch = None
-            if n_real and self.real_dataset is not None:
-                idx = [real_perm[(real_ptr + i) % real_len] for i in range(n_real)]
-                real_ptr += n_real
-                real_batch = self.real_dataset.sample_batch(idx)
-            sidx = None
-            if n_synth and self.generated is not None:
-                sidx = self._sample_synth_idx(self._next_key(), n_synth)
-            yield real_batch, sidx
+        sidx_list = [
+            self._sample_synth_idx(self._next_key(), n_synth)
+            if (n_synth and self.generated is not None) else None
+            for _ in range(n_batches)
+        ]
+
+        def gen():
+            real_ptr = 0
+            for b in range(n_batches):
+                real_batch = None
+                if n_real and self.real_dataset is not None:
+                    idx = [real_perm[(real_ptr + i) % real_len]
+                           for i in range(n_real)]
+                    real_ptr += n_real
+                    real_batch = self.real_dataset.sample_batch(idx)
+                yield real_batch, sidx_list[b]
+
+        return gen()
 
     # ------------------------------------------------------------------
     # mining

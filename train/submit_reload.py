@@ -70,7 +70,12 @@ def main_worker(arg, cfg, custom):
         from artiboost_tpu.postprocess.fitting import FittingUnit
         fitting_unit = FittingUnit()
 
-    eval_step = make_eval_step(arch, criterion)
+    # DP eval over the mesh when the batch tiles the data axis (the
+    # reference's batch-100 setting stays single-chip on 8-chip slices)
+    mesh = get_mesh(n_data=arg.n_devices)
+    if batch_size % mesh.shape["data"] != 0:
+        mesh = None
+    eval_step = make_eval_step(arch, criterion, mesh)
     pass_ = SubmitEpochPass.build(arg.submit_dataset, arg=arg,
                                   fitting_unit=fitting_unit)
     dump_path = os.path.join(
