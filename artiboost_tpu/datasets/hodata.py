@@ -20,6 +20,7 @@ import cv2
 import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
+from artiboost_tpu.utils import img_augment
 from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.misc import CONST
 
@@ -294,20 +295,9 @@ class HODataset(ABC):
         img = self.get_image(int(sample[Queries.SAMPLE_IDX]))
         if flip:
             img = img[:, ::-1].copy()
-        img = img.astype(np.float32) / 255.0
-        if self.aug:
-            if jitter[3] > 0.1:
-                img = cv2.GaussianBlur(img, (5, 5), float(jitter[3]))
-            img = img * jitter[0]
-            mean = img.mean()
-            img = (img - mean) * jitter[1] + mean
-            gray = img.mean(-1, keepdims=True)
-            img = (img - gray) * jitter[2] + gray
-            img = np.clip(img, 0, 1)
-        img = cv2.warpAffine(
-            img, affine_transf[:2], (self.image_size[0], self.image_size[1]),
-            flags=cv2.INTER_LINEAR)
-        sample[Queries.IMAGE] = (img - 0.5).astype(np.float32)
+        sample[Queries.IMAGE] = img_augment.augment_sample(
+            img, affine_transf, jitter,
+            (self.image_size[0], self.image_size[1]), aug=self.aug)
         return sample
 
     # ---- batch assembly (parity: ho_collate, hodata.py:17-62) ----
