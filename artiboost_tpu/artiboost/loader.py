@@ -178,6 +178,10 @@ class ArtiBoostLoader:
         else:
             self._synth_batch_jit = jax.jit(synth_fn)
 
+        # pose-sweep streaming chunk (parity: --opg_batch_size, default 256
+        # in the reference; larger on TPU to amortize dispatch)
+        self.opg_batch_size = int(cfg.get("OPG_BATCH_SIZE", 1024))
+
         # epoch sizing (parity: synth_len = synth_factor * len(real))
         self.real_dataset = real_dataset
         self.synth_factor = float(cfg.get("SYNTH_FACTOR", 0.6))
@@ -197,13 +201,31 @@ class ArtiBoostLoader:
         return sub
 
     def prepare(self):
-        """Sample triplets + generate the epoch's pose cache (on device)."""
+        """Sample triplets + generate the epoch's pose cache (on device).
+
+        The sweep streams through the jitted generator in fixed-size
+        chunks (OPG_BATCH_SIZE, parity with the reference's OVG loader
+        batches, opt_extra.py:8): a 40k-100k-triplet epoch in one jit
+        would blow HBM inside the refiner's chamfer and recompile per
+        epoch length; fixed chunks compile once and bound peak memory."""
         if not self.use_synth:
             return
         k_sample, k_gen = jax.random.split(self._next_key())
         oid, vid, gid, occ = sample_triplets(
             self.ccv, k_sample, self.config_len_train, replace=True)
         self.ccv = self.ccv._replace(occurrence_map=occ)
+
+        n = int(oid.shape[0])
+        chunk = min(self.opg_batch_size, n)
+        if self.mesh is not None:  # chunk must tile the data axis
+            n_data = int(self.mesh.shape["data"])
+            chunk = max(-(-chunk // n_data) * n_data, n_data)
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:  # repeat-pad the tail so every chunk has one shape
+            pad = n_pad - n
+            oid, vid, gid = (jnp.concatenate([x, x[:pad]]) for x in (oid, vid, gid))
+
+        sh = None
         if self.mesh is not None:
             # sample_triplets outputs commit to whatever sharding its inputs
             # had (replicated after a mining update); the sharded pose sweep
@@ -211,8 +233,19 @@ class ArtiBoostLoader:
             from artiboost_tpu.parallel.mesh import batch_sharding
 
             sh = batch_sharding(self.mesh)
-            oid, vid, gid = (jax.device_put(x, sh) for x in (oid, vid, gid))
-        self.generated = self._generate_jit(k_gen, oid, vid, gid)
+        pieces = []
+        for s in range(0, n_pad, chunk):
+            o, v, g = oid[s:s + chunk], vid[s:s + chunk], gid[s:s + chunk]
+            if sh is not None:
+                o, v, g = (jax.device_put(x, sh) for x in (o, v, g))
+            k_gen, sub = jax.random.split(k_gen)
+            pieces.append(self._generate_jit(sub, o, v, g))
+        if len(pieces) == 1:
+            gen = pieces[0]
+        else:
+            gen = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *pieces)
+        self.generated = jax.tree_util.tree_map(lambda x: x[:n], gen)
 
     def generate_render_cache(self, is_train: bool = True):
         self.prepare() if is_train else None

@@ -272,3 +272,33 @@ class TestArtiBoostLoader:
         loader.synth_shutdown()
         assert not loader.use_synth
         assert loader.generated is None
+
+
+class TestChunkedPrepare:
+    """The epoch pose sweep streams in OPG_BATCH_SIZE chunks (reference
+    --opg_batch_size parity) so real-scale epochs (40k-100k triplets)
+    bound HBM instead of one giant jit."""
+
+    def test_chunked_matches_requested_length(self):
+        cfg = dict(MANAGER_CFG)
+        cfg["CONFIG_LEN_TRAIN"] = 40   # not a multiple of the chunk
+        cfg["OPG_BATCH_SIZE"] = 16
+        loader = ArtiBoostLoader(real_dataset=None, cfg=cfg, batch_size=8)
+        loader.prepare()
+        assert loader.generated.obj_id.shape[0] == 40
+        assert loader.generated.obj_pose.shape == (40, 4, 4)
+        assert np.isfinite(np.asarray(loader.generated.hand_tsl)).all()
+
+    def test_chunked_on_mesh(self):
+        from artiboost_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(n_data=8)
+        cfg = dict(MANAGER_CFG)
+        cfg["CONFIG_LEN_TRAIN"] = 24
+        cfg["OPG_BATCH_SIZE"] = 10   # rounds up to 16 (2 per chip)
+        loader = ArtiBoostLoader(real_dataset=None, cfg=cfg, batch_size=8,
+                                 mesh=mesh)
+        loader.prepare()
+        assert loader.generated.obj_id.shape[0] == 24
+        batch = next(iter(loader))
+        assert batch["image"].shape[0] == 8
