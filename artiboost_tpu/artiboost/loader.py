@@ -271,9 +271,18 @@ class ArtiBoostLoader:
             n_synth = min(n_synth, max(self.batch_size - n_data, n_data))
         return self.batch_size - n_synth, n_synth
 
-    def _sample_synth_idx(self, key: jax.Array, n_synth: int) -> jax.Array:
-        sidx = jax.random.randint(key, (n_synth,), 0,
-                                  self.generated.obj_id.shape[0])
+    def _synth_epoch_perm(self, key: jax.Array) -> np.ndarray:
+        """Fresh permutation of the generated pose cache: every synth
+        sample is visited once per epoch (MixedDataset parity; slices wrap
+        when the epoch needs more draws than poses exist)."""
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        return np.random.RandomState(seed).permutation(
+            self.generated.obj_id.shape[0])
+
+    def _sample_synth_idx(self, perm: np.ndarray, b: int, n_synth: int) -> jax.Array:
+        start = b * n_synth
+        idx = perm[np.arange(start, start + n_synth) % len(perm)]
+        sidx = jnp.asarray(idx, jnp.int32)
         if self.mesh is not None:
             from artiboost_tpu.parallel.mesh import batch_sharding
 
@@ -291,16 +300,18 @@ class ArtiBoostLoader:
         real_perm = np.random.RandomState(
             int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
         ).permutation(max(real_len, 1))
+        synth_perm = (self._synth_epoch_perm(self._next_key())
+                      if (n_synth and self.generated is not None) else None)
         real_ptr = 0
-        for _ in range(len(self)):
+        for bidx in range(len(self)):
             parts = []
             if n_real and self.real_dataset is not None:
                 idx = [real_perm[(real_ptr + i) % real_len] for i in range(n_real)]
                 real_ptr += n_real
                 parts.append(self.real_dataset.sample_batch(idx))
             if n_synth and self.generated is not None:
-                k_idx, k_batch = jax.random.split(self._next_key())
-                sidx = self._sample_synth_idx(k_idx, n_synth)
+                k_batch = self._next_key()
+                sidx = self._sample_synth_idx(synth_perm, bidx, n_synth)
                 parts.append(self._synth_batch_jit(k_batch, self.generated, sidx))
             if not parts:
                 raise RuntimeError("ArtiBoostLoader has neither real nor synth data")
@@ -329,10 +340,13 @@ class ArtiBoostLoader:
         real_perm = np.random.RandomState(
             int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
         ).permutation(max(real_len, 1))
+        use_synth_now = n_synth and self.generated is not None
+        synth_perm = self._synth_epoch_perm(self._next_key()) \
+            if use_synth_now else None
         sidx_list = [
-            self._sample_synth_idx(self._next_key(), n_synth)
-            if (n_synth and self.generated is not None) else None
-            for _ in range(n_batches)
+            self._sample_synth_idx(synth_perm, b, n_synth)
+            if use_synth_now else None
+            for b in range(n_batches)
         ]
 
         def gen():
