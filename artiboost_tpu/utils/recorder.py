@@ -64,6 +64,13 @@ class Recorder:
                 open(marker, "w").close()
         if snapshot and (epoch + 1) % snapshot == 0:
             self._save(os.path.join(self.ckpt_dir, f"epoch_{epoch + 1}"), payload)
+            if artiboost_state is not None:
+                # per-epoch weight/occurrence map snapshots (recorder.py:177-197)
+                with open(os.path.join(
+                        self.ckpt_dir, f"artiboost_epoch_{epoch + 1}.npz"), "wb") as f:
+                    np.savez(f, **{k: np.asarray(v)
+                                   for k, v in artiboost_state.items()
+                                   if not isinstance(v, bool)})
 
     def _save(self, path: str, payload):
         path = os.path.abspath(path)
