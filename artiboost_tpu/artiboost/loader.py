@@ -248,7 +248,8 @@ class ArtiBoostLoader:
         self.generated = jax.tree_util.tree_map(lambda x: x[:n], gen)
 
     def generate_render_cache(self, is_train: bool = True):
-        self.prepare() if is_train else None
+        if is_train:
+            self.prepare()
 
     # ------------------------------------------------------------------
     # iteration: mixed real/synth batches
