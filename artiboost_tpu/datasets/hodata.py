@@ -16,7 +16,6 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 from typing import Dict, List, Optional, Sequence
 
-import cv2
 import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
