@@ -107,4 +107,13 @@ class Vis2DMetric(VisMetric):
 
 @METRIC.register_module
 class VisHand2DMetric(Vis2DMetric):
-    pass
+    """Hand-only overlay variant (parity: ``anakin/metrics/vismetric.py:360``
+    — used by hand-only models with no corner predictions)."""
+
+    def __init__(self, **cfg):
+        super().__init__(**cfg)
+        self.corner_link_order = None
+
+    def feed(self, preds, targs, **kwargs):
+        preds = {k: v for k, v in preds.items() if k != "corners_3d_abs"}
+        super().feed(preds, targs, **kwargs)
