@@ -39,19 +39,53 @@ class FPHB(HODataset):
     def __init__(self, **cfg):
         super().__init__(**cfg)
         self.name = "FPHB"
+        self.split_mode = cfg.get("SPLIT_MODE", "subjects")
         self.reduce_factor = float(cfg.get("REDUCE_FACTOR", 0.5))
         self.raw_size = (int(1920 * self.reduce_factor), int(1080 * self.reduce_factor))
         self.root = os.path.join(self.data_root, "fhbhands")
         self.samples: List[Dict] = []
         self._load_annotations()
 
+    def _action_split_seqs(self):
+        """Parse the official ``data_split_action_recognition.txt``
+        (reference fhbutils.py:244-256): 'Training'/'Test' sections of
+        ``Subject_X/action/seq  action_idx`` lines -> set of tuples for
+        this data_split."""
+        path = os.path.join(self.root, "data_split_action_recognition.txt")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"actions split file missing: {path}")
+        want_test = self.data_split in ("test", "val")
+        keep, in_test = set(), False
+        with open(path) as f:
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                head = line.split(" ")[0].lower()
+                if head.startswith("train"):
+                    in_test = False
+                    continue
+                if head.startswith("test"):
+                    in_test = True
+                    continue
+                if in_test == want_test or self.data_split == "all":
+                    parts = line.split(" ")[0].split("/")
+                    if len(parts) == 3:
+                        keep.add(tuple(parts))
+        return keep
+
     def _load_annotations(self):
         skel_root = os.path.join(self.root, "Hand_pose_annotation_v1")
         obj_root = os.path.join(self.root, "Object_6D_pose_annotation_v1_1")
         if not os.path.isdir(skel_root):
             raise FileNotFoundError(f"FPHB data not found under {self.root}")
-        subjects = [f"Subject_{i}" for i in (1, 3, 4)] \
-            if self.data_split == "train" else [f"Subject_{i}" for i in (2, 5, 6)]
+        if self.split_mode == "actions":
+            action_keep = self._action_split_seqs()
+            subjects = sorted({s for s, _, _ in action_keep})
+        else:  # "subjects" (reference fhbutils subject split)
+            action_keep = None
+            subjects = [f"Subject_{i}" for i in (1, 3, 4)] \
+                if self.data_split == "train" else [f"Subject_{i}" for i in (2, 5, 6)]
         for subj in subjects:
             subj_obj = os.path.join(obj_root, subj)
             if not os.path.isdir(subj_obj):
@@ -61,6 +95,8 @@ class FPHB(HODataset):
                 if obj_name is None:
                     continue
                 for seq in sorted(os.listdir(os.path.join(subj_obj, action))):
+                    if action_keep is not None and (subj, action, seq) not in action_keep:
+                        continue
                     pose_file = os.path.join(subj_obj, action, seq, "object_pose.txt")
                     skel_file = os.path.join(skel_root, subj, action, seq, "skeleton.txt")
                     if not (os.path.isfile(pose_file) and os.path.isfile(skel_file)):

@@ -59,3 +59,19 @@ def test_subject_split_and_accessors(fhb_root):
     assert np.abs(j).max() < 2.0  # meters, not mm
     t = train.get_obj_transf(0)
     assert np.abs(t[:3, 3]).max() < 1.0
+
+
+def test_action_split(fhb_root):
+    import os as _os
+    split_file = _os.path.join(fhb_root, "fhbhands",
+                               "data_split_action_recognition.txt")
+    with open(split_file, "w") as f:
+        f.write("Training 1\n")
+        f.write("Subject_1/open_milk/1 0\n")
+        f.write("Test 1\n")
+        f.write("Subject_2/pour_juice_bottle/1 5\n")
+    train = FPHB(DATA_PRESET=PRESET, DATA_SPLIT="train", DATA_ROOT=fhb_root,
+                 SPLIT_MODE="actions", AUG=False, AUG_PARAM=None)
+    test = FPHB(DATA_PRESET=PRESET, DATA_SPLIT="test", DATA_ROOT=fhb_root,
+                SPLIT_MODE="actions", AUG=False, AUG_PARAM=None)
+    assert len(train) == 3 and len(test) == 2
