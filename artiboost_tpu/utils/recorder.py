@@ -47,9 +47,13 @@ class Recorder:
     def record_checkpoints(self, train_state, epoch: int,
                            artiboost_state: Optional[Dict] = None,
                            rng_key=None, snapshot: int = 10):
-        """Save `latest` every epoch + numbered snapshots (recorder.py:68-96)."""
+        """Save `latest` every epoch + numbered snapshots (recorder.py:68-96).
+
+        The stored "epoch" is the number of COMPLETED epochs (epoch+1), so
+        a resumed run continues with ``range(epoch_start, n_epochs)``
+        without re-training the checkpointed epoch."""
         payload = {
-            "epoch": np.asarray(epoch),
+            "epoch": np.asarray(epoch + 1),
             "train_state": jax.tree_util.tree_map(np.asarray, train_state),
         }
         if rng_key is not None:

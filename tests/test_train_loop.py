@@ -134,3 +134,31 @@ def test_fused_train_step_mixed_batch():
     is_synth = np.asarray(batch[SynthQueries.IS_SYNTH])
     assert (is_synth[:n_real] == 0).all() and (is_synth[n_real:] == 1).all()
     assert batch["image"].shape[0] == 16
+
+
+@pytest.mark.slow
+def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
+    """Train 1 epoch, resume, train to 2: the resumed run must not re-train
+    the completed epoch and must restore params + ArtiBoost state."""
+    monkeypatch.chdir(tmp_path)
+    from train.train_artiboost import main_worker
+
+    cfg = load_config(CFG_PATH)
+    cfg["TRAIN"]["EPOCH"] = 1
+
+    class A(_Arg):
+        test_freq = 0
+
+    state1 = main_worker(A(), cfg, None)
+    steps_after_1 = int(state1.step)
+    exp_dir = os.path.join(str(tmp_path), "exp", os.listdir(tmp_path / "exp")[0])
+
+    class R(_Arg):
+        test_freq = 0
+        resume = exp_dir
+
+    cfg2 = load_config(CFG_PATH)
+    cfg2["TRAIN"]["EPOCH"] = 2
+    state2 = main_worker(R(), cfg2, None)
+    # exactly one more epoch of steps, not two
+    assert int(state2.step) == 2 * steps_after_1
