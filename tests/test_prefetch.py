@@ -28,6 +28,26 @@ def test_overlaps_producer_and_consumer():
     assert elapsed < 0.35, elapsed  # serial would be ~0.4s
 
 
+def test_abandoned_iteration_stops_producer():
+    """Breaking out of iteration must reclaim the worker thread — a
+    producer left blocked on a full queue can abort the interpreter at
+    shutdown when it touches logging/stdout during finalization."""
+    from artiboost_tpu.utils.prefetch import Prefetcher
+
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    pf = Prefetcher(endless(), depth=1)
+    it = iter(pf)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> Prefetcher.close()
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+
+
 def test_error_propagates():
     def bad_gen():
         yield 1
