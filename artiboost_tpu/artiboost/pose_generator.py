@@ -60,6 +60,30 @@ def decode_final_hand(
     return {"hand_verts": verts, "joints": joints}
 
 
+def rotate_hand_global(
+    mano_model: ManoModel,
+    rot: jnp.ndarray,        # (B, 3, 3) global rotation about the origin
+    hand_pose: jnp.ndarray,  # (B, 48)
+    hand_shape: jnp.ndarray, # (B, 10)
+    hand_tsl: jnp.ndarray,   # (B, 3)
+):
+    """Re-express a MANO pose under a global rotation about the origin:
+    FK(pose', shape) + tsl' == rot @ (FK(pose, shape) + tsl).
+
+    MANO rotates about its rotation center, not the origin, so the
+    translation needs the center-compensation update
+    (``preprocessor.py:55-60``). Returns (pose', tsl')."""
+    glob = rotmat_to_aa(jnp.einsum("bij,bjk->bik", rot, aa_to_rotmat(hand_pose[:, :3])))
+    new_pose = jnp.concatenate([glob, hand_pose[:, 3:]], axis=1)
+    center = rotation_center(mano_model, hand_shape)  # (B, 3)
+    root_rot = aa_to_rotmat(hand_pose[:, :3])
+    offset_0 = center - jnp.einsum("bij,bj->bi", root_rot, center)
+    new_root_rot = aa_to_rotmat(new_pose[:, :3])
+    offset_1 = center - jnp.einsum("bij,bj->bi", new_root_rot, center)
+    new_tsl = jnp.einsum("bij,bj->bi", rot, offset_0 + hand_tsl) - offset_1
+    return new_pose, new_tsl
+
+
 def make_pose_generator(
     mano_model: ManoModel,
     obj_lib: ObjectLibrary,
@@ -79,7 +103,6 @@ def make_pose_generator(
         # ---- decode grasp (grasp_engine + FK; preprocessor :25-29) ----
         hand_pose, hand_shape, hand_tsl = grasp_lib.gather(oid, gid)
         mano_out = mano_forward(mano_model, hand_pose, hand_shape)
-        hand_glob_rotmat = mano_out.transforms_abs[:, 0, :3, :3]
         joints = mano_out.joints + hand_tsl[:, None]
 
         # ---- view decode (preprocessor :32-40) ----
@@ -97,14 +120,8 @@ def make_pose_generator(
         )
 
         # ---- rotate hand into the view (preprocessor :47-63) ----
-        new_glob = rotmat_to_aa(jnp.einsum("bij,bjk->bik", persp_inv, hand_glob_rotmat))
-        new_hand_pose = jnp.concatenate([new_glob, hand_pose[:, 3:]], axis=1)
-        center = rotation_center(mano_model, hand_shape)  # (B, 3)
-        root_rot = aa_to_rotmat(hand_pose[:, :3])
-        offset_0 = center - jnp.einsum("bij,bj->bi", root_rot, center)
-        new_root_rot = aa_to_rotmat(new_hand_pose[:, :3])
-        offset_1 = center - jnp.einsum("bij,bj->bi", new_root_rot, center)
-        new_hand_tsl = jnp.einsum("bij,bj->bi", persp_inv, offset_0 + hand_tsl) - offset_1
+        new_hand_pose, new_hand_tsl = rotate_hand_global(
+            mano_model, persp_inv, hand_pose, hand_shape, hand_tsl)
 
         new_out = mano_forward(mano_model, new_hand_pose, hand_shape)
         new_joints = new_out.joints + new_hand_tsl[:, None]

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from artiboost_tpu.mano.layer import mano_forward
+from artiboost_tpu.mano.layer import mano_forward, mano_forward_rotmat
 from artiboost_tpu.mano.model import ManoModel
 from artiboost_tpu.ops.chamfer import chamfer_distance
 from artiboost_tpu.utils.logger import logger
@@ -115,8 +115,8 @@ def make_ho_refiner(
         trans = feed["hand_tsl"]
 
         def h2o(pose_6d_, trans_):
-            aa = pose_6d_to_aa(pose_6d_)
-            verts = mano_forward(mano_model, aa, shape).verts + trans_[:, None]
+            rots = rot6d_to_rotmat(pose_6d_.reshape(B, 16, 6))
+            verts = mano_forward_rotmat(mano_model, rots, shape).verts + trans_[:, None]
             d_xy, _ = chamfer_distance(verts, obj_verts, mask_y=obj_valid)
             return jnp.sqrt(jnp.maximum(d_xy, 1e-12))  # |signed| (ref :226)
 
@@ -138,6 +138,121 @@ def make_ho_refiner(
         }
 
     return refine
+
+
+# --------------------------------------------------------------------------
+# Training the refiner (replaces the GrabNet pretrained checkpoint)
+# --------------------------------------------------------------------------
+#
+# The reference downloads ``assets/GrabNet/refinenet.pt`` and never trains
+# it (``anakin/artiboost/refiner.py:165``). Our RefineNet is a re-design,
+# so the framework provides the GrabNet-style training recipe natively:
+# take clean grasps from the grasp library, corrupt them with the same
+# scrambler the synthesis pipeline uses, and train the unrolled N-step
+# refinement to recover the clean hand (vertex + joint recovery loss),
+# under random global rotations so the net generalizes to view frames.
+
+
+def make_refiner_train_step(
+    mano_model: ManoModel,
+    refine_net: RefineNet,
+    scrambler: Callable,
+    n_iters: int = 3,
+    learning_rate: float = 1e-4,
+    w_verts: float = 1.0,
+    w_joints: float = 1.0,
+    w_contact: float = 0.5,
+):
+    """-> (init_fn(key) -> (params, opt_state), step_fn).
+
+    step_fn(params, opt_state, key, hand_pose (B,48), hand_shape (B,10),
+    hand_tsl (B,3), obj_verts (B,M,3), obj_valid (B,M))
+    -> (params, opt_state, metrics dict).
+    """
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(key):
+        params = refine_net.init(
+            key, jnp.zeros((1, 778)), jnp.zeros((1, 96)), jnp.zeros((1, 3)))
+        return params, tx.init(params)
+
+    def _rand_rotmat(key, B):
+        axis = jax.random.normal(key, (B, 3))
+        axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+        ang = jax.random.uniform(jax.random.fold_in(key, 1), (B, 1),
+                                 minval=0.0, maxval=2.0 * jnp.pi)
+        return aa_to_rotmat(axis * ang)
+
+    def loss_fn(params, key, hand_pose, hand_shape, hand_tsl, obj_verts, obj_valid):
+        from artiboost_tpu.artiboost.pose_generator import rotate_hand_global
+
+        B = hand_pose.shape[0]
+        k_rot, k_scram = jax.random.split(key)
+
+        # random global rotation: grasps are stored in the object frame,
+        # but the refiner runs in sampled view frames at synthesis time
+        rot = _rand_rotmat(k_rot, B)
+        hand_pose, hand_tsl = rotate_hand_global(
+            mano_model, rot, hand_pose, hand_shape, hand_tsl)
+        obj_verts = jnp.einsum("bij,bnj->bni", rot, obj_verts)
+
+        clean = mano_forward(mano_model, hand_pose, hand_shape)
+        clean_verts = clean.verts + hand_tsl[:, None]
+        clean_joints = clean.joints + hand_tsl[:, None]
+        d_clean, _ = chamfer_distance(clean_verts, obj_verts, mask_y=obj_valid)
+        d_clean = jnp.sqrt(jnp.maximum(d_clean, 1e-12))
+
+        scram = scrambler(k_scram, {
+            "hand_pose": hand_pose, "hand_tsl": hand_tsl,
+            "joints": clean_joints, "hand_verts": clean_verts,
+            "hand_transf": clean.transforms_abs,
+        })
+        pose_6d = pose_aa_to_6d(scram["hand_pose"])
+        trans = scram["hand_tsl"]
+
+        # unrolled refinement (differentiable; mirrors make_ho_refiner).
+        # FK runs straight from rot6d->rotmat: round-tripping through
+        # axis-angle would hit rotmat_to_aa's singular backward at
+        # identity joint rotations and NaN the gradients
+        for _ in range(n_iters):
+            rots = rot6d_to_rotmat(pose_6d.reshape(B, 16, 6))
+            verts = mano_forward_rotmat(
+                mano_model, rots, hand_shape).verts + trans[:, None]
+            d_xy, _ = chamfer_distance(verts, obj_verts, mask_y=obj_valid)
+            dist = jnp.sqrt(jnp.maximum(d_xy, 1e-12))
+            dpose, dtrans = refine_net.apply(params, dist, pose_6d, trans)
+            pose_6d = pose_6d + dpose
+            trans = trans + dtrans
+
+        rots = rot6d_to_rotmat(pose_6d.reshape(B, 16, 6))
+        out = mano_forward_rotmat(mano_model, rots, hand_shape)
+        verts = out.verts + trans[:, None]
+        joints = out.joints + trans[:, None]
+        d_ref, _ = chamfer_distance(verts, obj_verts, mask_y=obj_valid)
+        d_ref = jnp.sqrt(jnp.maximum(d_ref, 1e-12))
+
+        l_verts = jnp.mean(jnp.sum((verts - clean_verts) ** 2, axis=-1))
+        l_joints = jnp.mean(jnp.sum((joints - clean_joints) ** 2, axis=-1))
+        # pull the refined contact profile toward the clean grasp's: this
+        # is what makes refinement more than pose denoising (GrabNet's
+        # hand-object distance supervision)
+        l_contact = jnp.mean((d_ref - d_clean) ** 2)
+        loss = w_verts * l_verts + w_joints * l_joints + w_contact * l_contact
+        return loss, {"loss": loss, "l_verts": l_verts,
+                      "l_joints": l_joints, "l_contact": l_contact}
+
+    @jax.jit
+    def step_fn(params, opt_state, key, hand_pose, hand_shape, hand_tsl,
+                obj_verts, obj_valid):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, hand_pose, hand_shape, hand_tsl, obj_verts, obj_valid)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return init_fn, step_fn
 
 
 def save_refiner_params(params, path: str) -> None:

@@ -26,7 +26,7 @@ from artiboost_tpu.mano.model import (
     NUM_JOINTS,
     TIP_VERT_IDS,
 )
-from artiboost_tpu.utils.transform import aa_to_rotmat
+from artiboost_tpu.utils.transform import aa_to_rotmat, rotmat_to_aa
 
 # FK levels: wrist, then the 5 MCP joints, then PIP, then DIP — each level
 # only depends on the previous, so each is one batched (B, 5, 4, 4) matmul.
@@ -69,13 +69,33 @@ def mano_forward(
     # geometry demands f32 matmuls; TPU's default bf16 contraction loses
     # ~5e-4 m of vertex accuracy which is visible in mm-scale metrics
     with jax.default_matmul_precision("float32"):
-        return _mano_forward_impl(model, full_pose, betas, center_idx)
+        B = full_pose.shape[0]
+        rots = aa_to_rotmat(full_pose.reshape(B, 16, 3))
+        return _mano_forward_impl(model, rots, full_pose, center_idx=center_idx,
+                                  betas=betas)
 
 
-def _mano_forward_impl(model, full_pose, betas, center_idx) -> ManoOutput:
-    B = full_pose.shape[0]
-    aa = full_pose.reshape(B, 16, 3)
-    rots = aa_to_rotmat(aa)  # (B, 16, 3, 3)
+@partial(jax.jit, static_argnames=("center_idx",))
+def mano_forward_rotmat(
+    model: ManoModel,
+    rots: jnp.ndarray,           # (B, 16, 3, 3) per-joint rotations
+    betas: jnp.ndarray,          # (B, 10)
+    center_idx: Optional[int] = None,
+) -> ManoOutput:
+    """FK straight from rotation matrices. The gradient-safe entry point
+    for optimization loops over 6D/rotmat pose parameterizations:
+    ``rotmat_to_aa``'s backward is singular at angle 0/pi, so converting
+    to axis-angle just to re-convert inside FK would poison training
+    (the RefineNet trainer hit exactly this). ``full_poses`` is still
+    reported for downstream consumers, gradient-stopped."""
+    with jax.default_matmul_precision("float32"):
+        aa = jax.lax.stop_gradient(rotmat_to_aa(rots)).reshape(rots.shape[0], 48)
+        return _mano_forward_impl(model, rots, aa, center_idx=center_idx,
+                                  betas=betas)
+
+
+def _mano_forward_impl(model, rots, full_pose, *, betas, center_idx) -> ManoOutput:
+    B = rots.shape[0]
 
     # pose blendshapes use rotations minus identity for the 15 finger joints
     pose_feature = (rots[:, 1:] - jnp.eye(3, dtype=rots.dtype)).reshape(B, 135)
