@@ -2,19 +2,35 @@
 
 Same contract as ``rasterizer.rasterize_batch`` (validated against it in
 tests), but fused into one kernel so the (pixel x face) work never
-materializes in HBM:
+materializes in HBM. Deferred-shading design:
 
   * grid = (batch, pixel-tiles); each tile is TP flattened pixels,
-  * face data is packed as (NC, 24, 128) chunk-major rows so each chunk
-    is a natural (sublane, lane) block: rows = [ea0..2, eb0..2, ec0..2,
-    iz0..2, r/z0..2, g/z0..2, b/z0..2, valid, ymin, ymax],
+  * per-face data is packed as (NC, 16, 128) chunk-major rows so each
+    chunk is a natural (sublane, lane) block. Every per-pixel quantity
+    is a plane in (x, y): barycentrics lam0/lam1 directly
+    (lam2 = 1 - lam0 - lam1), 1/z as the plane (ea·iz, eb·iz, ec·iz),
+    and each color channel as the plane (ea·(c/z), ...),
   * faces are sorted by screen-y, and a host-computed (batch, tile) ->
     [chunk_start, chunk_end) table is passed through scalar prefetch;
     the kernel's fori_loop runs only over chunks whose y-range can
     touch the tile — real work skipping, unlike a vector-predicated
     lax.cond which Mosaic executes on both paths,
-  * per chunk: 3 edge functions via broadcasted FMA (VPU), inside mask,
-    interpolated 1/z, masked running max over the lane axis.
+  * pass 1 (depth): the depth test is ONE f32 max per chunk — 1/z is
+    bitcast to int32, its low 7 mantissa bits are replaced by the lane
+    id (positive floats compare identically as ints; the 2^-17-relative
+    depth truncation matches the multiplicative lane bias a previous
+    version applied to break ties), and the masked pack is bitcast
+    BACK to f32 for the reduction: the VPU's f32 max is fast where the
+    int32 max lowering is not (measured 3.4x kernel difference), and
+    the patterns stay non-negative so the f32 order matches the int
+    order. The winning lane rides along with the winning depth free,
+  * pass 2 (deferred shading): color planes are only evaluated over
+    the [min, max] band of chunks that actually won pixels in this
+    tile — 1-3 chunks for y-coherent grasp scenes. Each chunk needs a
+    single cross-lane reduction: the three 8-bit-quantized channels
+    are packed into one f32 (exact parity with the reference's uint8
+    OpenGL framebuffer, ``anakin/utils/renderer.py:123``) and the
+    one-hot winner mask makes the lane sum the winner's value.
 
 Replaces: pyrender EGL rasterizer + render worker processes
 (``anakin/utils/renderer.py``, ``anakin/artiboost/render_infra.py``).
@@ -35,11 +51,14 @@ from artiboost_tpu.ops.rasterizer import build_screen_faces
 _BIG = 1e30
 _EPS_EDGE = -1e-6
 LANE = 128  # faces per chunk
-N_ROWS = 24  # packed rows per chunk (21 used + valid + ymin + ymax)
+N_ROWS = 16  # packed rows per chunk (9 used, padded to the sublane tile)
+_LANE_MASK = 0x7F  # low 7 mantissa bits carry the winning lane id
 
 
-def _pack_faces(sf, n_chunks: int) -> jnp.ndarray:
-    """ScreenFace -> (NC, 24, LANE) packed rows (see module docstring)."""
+def _pack_faces(sf, n_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ScreenFace -> two (NC, 16, LANE) plane-row arrays:
+    geometry [ea0, ea1, eb0, eb1, ec0', ec1, wa, wb, wc] and color
+    [ra, ga, ba, rb, gb, bb, rc, gc, bc] (see module docstring)."""
     F = sf.edge_a.shape[0]
     pad = n_chunks * LANE - F
 
@@ -48,29 +67,39 @@ def _pack_faces(sf, n_chunks: int) -> jnp.ndarray:
 
     ea, eb, ec = _p(sf.edge_a), _p(sf.edge_b), _p(sf.edge_c)
     iz = _p(sf.inv_z)
-    aoz = _p(sf.attr_over_z)  # (F', 3, 3) rgb
+    aoz = _p(sf.attr_over_z)  # (F', 3, 3)
     valid = _p(sf.valid)
-    bbox = _p(sf.bbox)
 
     # fold face validity into the first edge constant: invalid faces get
     # lam0 = -BIG so the inside test rejects them with no extra mask op
+    # (lam2 = 1 - lam0 - lam1 then explodes positive; lmin stays -BIG)
     ec0 = jnp.where(valid > 0, ec[:, 0], -_BIG)
-    rows = [ea[:, 0], ea[:, 1], ea[:, 2],
-            eb[:, 0], eb[:, 1], eb[:, 2],
-            ec0, ec[:, 1], ec[:, 2],
-            iz[:, 0], iz[:, 1], iz[:, 2],
-            aoz[:, 0, 0], aoz[:, 1, 0], aoz[:, 2, 0],
-            aoz[:, 0, 1], aoz[:, 1, 1], aoz[:, 2, 1],
-            aoz[:, 0, 2], aoz[:, 1, 2], aoz[:, 2, 2],
-            valid,
-            jnp.where(valid > 0, bbox[:, 1], _BIG),   # ymin
-            jnp.where(valid > 0, bbox[:, 3], -_BIG)]  # ymax
-    packed = jnp.stack(rows, axis=1)  # (F', 24)
-    return packed.reshape(n_chunks, LANE, N_ROWS).transpose(0, 2, 1)
+    # 1/z is itself a plane in pixel coords: w = lam·iz = x(ea·iz) + ...
+    # (elementwise 3-term dots — keeps these f32 on the VPU, never a
+    # reduced-precision MXU contraction)
+    wa = jnp.sum(ea * iz, axis=1)
+    wb = jnp.sum(eb * iz, axis=1)
+    wc = jnp.sum(ec * iz, axis=1)
+    rows = [ea[:, 0], ea[:, 1],
+            eb[:, 0], eb[:, 1],
+            ec0, ec[:, 1],
+            wa, wb, wc]
+    rows += [jnp.zeros_like(wa)] * (N_ROWS - len(rows))
+    geom = jnp.stack(rows, axis=1)  # (F', 16)
+
+    # color planes: channel/z = lam·(attr/z) is linear in (x, y) too
+    crows = [jnp.sum(e * aoz[:, :, ch], axis=1)
+             for e in (ea, eb, ec) for ch in range(3)]
+    crows += [jnp.zeros_like(wa)] * (N_ROWS - len(crows))
+    col = jnp.stack(crows, axis=1)  # (F', 16)
+
+    shape = (n_chunks, LANE, N_ROWS)
+    return (geom.reshape(shape).transpose(0, 2, 1),
+            col.reshape(shape).transpose(0, 2, 1))
 
 
-def _raster_kernel(ranges_ref, packed_ref, out_ref, *, width: int, tile_px: int,
-                   n_tiles: int):
+def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
+                   tile_px: int, n_tiles: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
     base = t * tile_px
@@ -78,58 +107,73 @@ def _raster_kernel(ranges_ref, packed_ref, out_ref, *, width: int, tile_px: int,
     x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
     y = (pix // width).astype(jnp.float32) + 0.5
 
-    # per-lane multiplicative depth bias (<= 1.5e-5 relative) makes the
-    # in-chunk argmax a single winner, killing the tie-count reduction;
-    # ties across lanes then break toward the higher lane deterministically
-    lane_bias = 1.0 + jax.lax.broadcasted_iota(
-        jnp.int32, (1, LANE), 1).astype(jnp.float32) * (2.0 ** -23)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
+    # ---- pass 1: depth + winner id ----
     def chunk_body(c, carry):
-        best_w, best_r, best_g, best_b = carry
-        fd = packed_ref[0, c]  # (24, LANE)
-        lam0 = x * fd[0:1, :] + y * fd[3:4, :] + fd[6:7, :]
-        lam1 = x * fd[1:2, :] + y * fd[4:5, :] + fd[7:8, :]
-        lam2 = x * fd[2:3, :] + y * fd[5:6, :] + fd[8:9, :]
+        best_pf, best_chunk = carry  # (TP, 1): f32 packed, int32 chunk
+        fd = packed_ref[0, c]  # (16, LANE)
+        lam0 = x * fd[0:1, :] + y * fd[2:3, :] + fd[4:5, :]
+        lam1 = x * fd[1:2, :] + y * fd[3:4, :] + fd[5:6, :]
+        lam2 = 1.0 - lam0 - lam1
         lmin = jnp.minimum(lam0, jnp.minimum(lam1, lam2))
-        w = lam0 * fd[9:10, :] + lam1 * fd[10:11, :] + lam2 * fd[11:12, :]
-        w = jnp.where(lmin >= _EPS_EDGE, w * lane_bias, -_BIG)
-        m = jnp.max(w, axis=1, keepdims=True)  # (TP, 1)
-        improve = m > best_w
-        sel = (w == m).astype(jnp.float32)  # single winner (bias breaks ties)
-
-        r = lam0 * fd[12:13, :] + lam1 * fd[13:14, :] + lam2 * fd[14:15, :]
-        g = lam0 * fd[15:16, :] + lam1 * fd[16:17, :] + lam2 * fd[17:18, :]
-        bch = lam0 * fd[18:19, :] + lam1 * fd[19:20, :] + lam2 * fd[20:21, :]
-        r_m = jnp.sum(sel * r, axis=1, keepdims=True)
-        g_m = jnp.sum(sel * g, axis=1, keepdims=True)
-        b_m = jnp.sum(sel * bch, axis=1, keepdims=True)
-
-        best_r = jnp.where(improve, r_m, best_r)
-        best_g = jnp.where(improve, g_m, best_g)
-        best_b = jnp.where(improve, b_m, best_b)
-        best_w = jnp.maximum(best_w, m)
-        return best_w, best_r, best_g, best_b
+        w = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
+        wbits = jax.lax.bitcast_convert_type(w, jnp.int32)
+        packv = (wbits & ~_LANE_MASK) | lane
+        pf = jax.lax.bitcast_convert_type(packv, jnp.float32)
+        hit = (lmin >= _EPS_EDGE) & (wbits > 0)
+        pf = jnp.where(hit, pf, 0.0)
+        m = jnp.max(pf, axis=1, keepdims=True)  # (TP, 1)
+        improve = m > best_pf
+        best_chunk = jnp.where(improve, c, best_chunk)
+        best_pf = jnp.maximum(best_pf, m)
+        return best_pf, best_chunk
 
     init = (
-        jnp.full((tile_px, 1), -_BIG, jnp.float32),
         jnp.zeros((tile_px, 1), jnp.float32),
-        jnp.zeros((tile_px, 1), jnp.float32),
-        jnp.zeros((tile_px, 1), jnp.float32),
+        jnp.zeros((tile_px, 1), jnp.int32),
     )
     # ranges is flat (B * n_tiles * 2,): SMEM pads trailing dims to the
     # lane width, so a (B, T, 2) layout would blow the 1MB SMEM budget
     rbase = (b * n_tiles + t) * 2
     c_start = ranges_ref[rbase]
     c_end = ranges_ref[rbase + 1]
-    best_w, best_r, best_g, best_b = jax.lax.fori_loop(
-        c_start, c_end, chunk_body, init
-    )
+    best_pf, best_chunk = jax.lax.fori_loop(c_start, c_end, chunk_body, init)
 
-    hitm = best_w > 0.0
-    depth = jnp.where(hitm, 1.0 / jnp.maximum(best_w, 1e-30), 0.0)
-    out_ref[0, 0, :, 0:1] = best_r * depth
-    out_ref[0, 0, :, 1:2] = best_g * depth
-    out_ref[0, 0, :, 2:3] = best_b * depth
+    best_pack = jax.lax.bitcast_convert_type(best_pf, jnp.int32)
+    hitm = best_pack > 0
+    w_rec = jax.lax.bitcast_convert_type(best_pack & ~_LANE_MASK, jnp.float32)
+    depth = jnp.where(hitm, 1.0 / jnp.maximum(w_rec, 1e-30), 0.0)  # (TP, 1)
+    gidx = best_chunk * LANE + (best_pack & _LANE_MASK)
+
+    # ---- pass 2: deferred shading over the winning-chunk band ----
+    minc = jnp.min(jnp.where(hitm, best_chunk, jnp.int32(2 ** 30)))
+    maxc = jnp.max(jnp.where(hitm, best_chunk, jnp.int32(-1)))
+    lo = jnp.maximum(c_start, minc)
+    hi = jnp.minimum(c_end, maxc + 1)
+
+    def color_body(c, acc):
+        fc = colors_ref[0, c]  # (16, LANE)
+        sel = ((gidx - c * LANE) == lane).astype(jnp.float32)  # (TP, LANE)
+        r = x * fc[0:1, :] + y * fc[3:4, :] + fc[6:7, :]
+        g = x * fc[1:2, :] + y * fc[4:5, :] + fc[7:8, :]
+        bl = x * fc[2:3, :] + y * fc[5:6, :] + fc[8:9, :]
+        # planes give channel/z; * depth recovers the channel, then an
+        # 8-bit quantized pack makes the winner sum ONE reduction
+        q = (jnp.floor(jnp.clip(r * depth, 0.0, 1.0) * 255.0 + 0.5) * 65536.0
+             + jnp.floor(jnp.clip(g * depth, 0.0, 1.0) * 255.0 + 0.5) * 256.0
+             + jnp.floor(jnp.clip(bl * depth, 0.0, 1.0) * 255.0 + 0.5))
+        return acc + jnp.sum(sel * q, axis=1, keepdims=True)
+
+    qsum = jax.lax.fori_loop(lo, hi, color_body,
+                             jnp.zeros((tile_px, 1), jnp.float32))
+    r8 = jnp.floor(qsum / 65536.0)
+    g8 = jnp.floor((qsum - r8 * 65536.0) / 256.0)
+    b8 = qsum - r8 * 65536.0 - g8 * 256.0
+
+    out_ref[0, 0, :, 0:1] = r8 * (1.0 / 255.0)
+    out_ref[0, 0, :, 1:2] = g8 * (1.0 / 255.0)
+    out_ref[0, 0, :, 2:3] = b8 * (1.0 / 255.0)
     out_ref[0, 0, :, 3:4] = depth
 
 
@@ -141,7 +185,7 @@ def rasterize_batch_pallas(
     face_valid: Optional[jnp.ndarray],  # (B, F) or None
     height: int,
     width: int,
-    tile_px: int = 1024,  # 2048 exceeds the 16MB VMEM scoped limit
+    tile_px: int = 1024,
     cull_backfaces: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background."""
@@ -170,11 +214,16 @@ def rasterize_batch_pallas(
         ),
         sf,
     )
-    packed = jax.vmap(lambda s: _pack_faces(s, n_chunks))(sf)  # (B, NC, 24, LANE)
+    packed, colors = jax.vmap(lambda s: _pack_faces(s, n_chunks))(sf)
 
     # per-(batch, tile) chunk ranges from the sorted chunk y-extents
-    chunk_ymin = jnp.min(packed[:, :, 22, :], axis=-1)  # (B, NC)
-    chunk_ymax = jnp.max(packed[:, :, 23, :], axis=-1)  # (B, NC)
+    padF = n_chunks * LANE - F
+    fymin = jnp.pad(jnp.where(sf.valid > 0, sf.bbox[..., 1], _BIG),
+                    ((0, 0), (0, padF)), constant_values=_BIG)
+    fymax = jnp.pad(jnp.where(sf.valid > 0, sf.bbox[..., 3], -_BIG),
+                    ((0, 0), (0, padF)), constant_values=-_BIG)
+    chunk_ymin = jnp.min(fymin.reshape(B, n_chunks, LANE), axis=-1)  # (B, NC)
+    chunk_ymax = jnp.max(fymax.reshape(B, n_chunks, LANE), axis=-1)  # (B, NC)
     tile_idx = jnp.arange(n_tiles)
     tile_ymin = ((tile_idx * tile_px) // width).astype(jnp.float32)  # (T,)
     tile_ymax = (((tile_idx + 1) * tile_px - 1) // width).astype(jnp.float32) + 1.0
@@ -194,6 +243,8 @@ def rasterize_batch_pallas(
         in_specs=[
             pl.BlockSpec((1, n_chunks, N_ROWS, LANE), lambda b, t, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, N_ROWS, LANE), lambda b, t, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tile_px, 4), lambda b, t, *_: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -203,7 +254,7 @@ def rasterize_batch_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, tile_px, 4), jnp.float32),
         interpret=jax.default_backend() == "cpu",  # tests run on CPU mesh
-    )(ranges, packed)
+    )(ranges, packed, colors)
 
     flat = out.reshape(B, n_tiles * tile_px, 4)[:, :n_pix]
     img = flat.reshape(B, height, width, 4)
