@@ -9,7 +9,16 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual devices time-share ONE host core here: an 8-way collective
+# rendezvous can starve a participant past XLA's terminate timeout, which
+# LOG(FATAL)s the whole process ("Fatal Python error: Aborted" mid-suite).
+# Give the rendezvous effectively unlimited patience — starvation on this
+# box is scheduling noise, not deadlock.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
