@@ -290,6 +290,12 @@ def build_refiner(cfg: Dict, mano_model: ManoModel, key: Optional[jax.Array] = N
         key = jax.random.PRNGKey(0)
     params = net.init(key, jnp.zeros((1, 778)), jnp.zeros((1, 96)), jnp.zeros((1, 3)))
     pretrained = cfg.get("PRETRAINED")
+    # natively-trained fallback (script/train_refiner.py) when the
+    # configured checkpoint (e.g. the reference's GrabNet .pt) is absent
+    fallback = "assets/refinenet_tpu.npz"
+    if pretrained and not os.path.isfile(str(pretrained)) and os.path.isfile(fallback):
+        logger.info(f"refiner: {pretrained} absent; using native {fallback}")
+        pretrained = fallback
     if pretrained and str(pretrained).endswith(".npz") and os.path.isfile(pretrained):
         loaded = load_refiner_params(pretrained)
         params = loaded if "params" in loaded else {"params": loaded}

@@ -43,21 +43,32 @@ class AR(Metric):
             self.diameters = np.full((self.n_obj,), 0.2, np.float32)
         self.reset()
 
+    _FOLD = 64  # device chunks per host fold (fixed width keeps the
+    # concat executable cached; one fetch per _FOLD feeds)
+
     def reset(self):
         self.count = 0
-        self.objs_error = {i + 1: AverageMeter() for i in range(self.n_obj)}
-        self._errors: List[np.ndarray] = []
-        self._err_obj: List[np.ndarray] = []
+        # per-sample MSSD values stay ON DEVICE as deferred chunks (no
+        # blocking fetch per feed); folded to host every _FOLD feeds
+        self._errors: List[jnp.ndarray] = []
+        self._err_obj: List[jnp.ndarray] = []
+        self._host_errors: List[np.ndarray] = []
+        self._host_obj: List[np.ndarray] = []
+        self._ones_pad = None
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
-        obj_idx = np.asarray(targs[Queries.OBJ_IDX]).astype(np.int32)
+        # everything stays on device: np.asarray here would cost a
+        # blocking fetch + re-upload round-trip per feed
+        obj_idx = jnp.asarray(targs[Queries.OBJ_IDX]).astype(jnp.int32)
         obj_can = (
             targs[Queries.CORNERS_CAN] if self.mssd_use_corners else targs[Queries.OBJ_VERTS_CAN]
         )
         pad = targs.get(Queries.PADDING_MASK)
         if pad is None or self.mssd_use_corners:
-            pad = jnp.ones(obj_can.shape[:2], jnp.float32)
-        gather = jnp.asarray(obj_idx - 1)
+            if self._ones_pad is None or self._ones_pad.shape != obj_can.shape[:2]:
+                self._ones_pad = jnp.ones(obj_can.shape[:2], jnp.float32)
+            pad = self._ones_pad  # cached: one upload, not one per feed
+        gather = jnp.maximum(obj_idx - 1, 0)
         vals_m = mssd_values(
             preds["box_rot_rotmat"],
             preds["boxroot_3d_abs"].reshape(-1, 1, 3),
@@ -66,28 +77,52 @@ class AR(Metric):
             self.sym_R[gather], self.sym_t[gather], self.sym_valid[gather],
             self.use_ho3d_ycb,
         )
-        vals = np.asarray(vals_m)
-        for i, oi in enumerate(obj_idx.tolist()):
-            self.objs_error[int(oi)].update(float(vals[i]), n=1)
-        self._errors.append(vals)
+        self._errors.append(vals_m)
         self._err_obj.append(obj_idx)
-        self.count += vals.shape[0]
+        self.count += int(vals_m.shape[0])
+        if len(self._errors) >= self._FOLD:
+            self._fold()
+
+    def _fold(self):
+        if not self._errors:
+            return
+        self._host_errors.append(np.asarray(jnp.concatenate(self._errors)))
+        self._host_obj.append(np.asarray(jnp.concatenate(self._err_obj)))
+        self._errors, self._err_obj = [], []
+
+    def _collect(self):
+        """-> (errors (N,), obj_idx (N,)) on host."""
+        self._fold()
+        if not self._host_errors:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int32)
+        return (np.concatenate(self._host_errors),
+                np.concatenate(self._host_obj))
+
+    @property
+    def objs_error(self) -> Dict[int, AverageMeter]:
+        """Host view of per-object meters (fetches; epoch-boundary use)."""
+        errors, obj = self._collect()
+        out = {i + 1: AverageMeter() for i in range(self.n_obj)}
+        for i in range(1, self.n_obj + 1):
+            e = errors[obj == i]
+            if e.size:
+                out[i].update(float(e.sum()), n=int(e.size))
+        return out
 
     @property
     def avg(self) -> float:
-        s = sum(m.sum for m in self.objs_error.values())
-        c = sum(m.count for m in self.objs_error.values())
-        return s / max(c, 1) * 1000.0  # mm
+        errors, _ = self._collect()
+        return float(errors.sum()) / max(errors.size, 1) * 1000.0  # mm
 
     def get_measures(self, **kwargs) -> Dict[str, float]:
-        measures = {"MSSD": self.avg}
-        for idx, m in self.objs_error.items():
-            if m.count:
-                measures[f"MSSD_obj_{idx}"] = m.avg * 1000.0
+        errors, obj = self._collect()
+        measures = {"MSSD": float(errors.sum()) / max(errors.size, 1) * 1000.0}
+        for idx in range(1, self.n_obj + 1):
+            e = errors[obj == idx]
+            if e.size:
+                measures[f"MSSD_obj_{idx}"] = float(e.mean()) * 1000.0
         # BOP AR: mean recall over thresholds theta = 0.05..0.5 of diameter
-        if self._errors:
-            errors = np.concatenate(self._errors)
-            obj = np.concatenate(self._err_obj)
+        if errors.size:
             diam = self.diameters[obj - 1]
             thetas = np.linspace(0.05, 0.5, 10)
             recalls = [(errors < th * diam).mean() for th in thetas]

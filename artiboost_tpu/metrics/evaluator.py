@@ -61,11 +61,16 @@ class Evaluator:
             if isinstance(metric, LossesMetric) and not return_losses:
                 continue
             name = type(metric).__name__
-            scalars = {
-                k: float(v)
-                for k, v in metric.get_measures().items()
-                if isinstance(v, (int, float))
-            }
+            if hasattr(metric, "get_scalar_measures"):
+                # cheap scalar path (ValMetrics' full get_measures builds
+                # 57k-entry triplet dicts that this view would discard)
+                scalars = dict(metric.get_scalar_measures())
+            else:
+                scalars = {
+                    k: float(v)
+                    for k, v in metric.get_measures().items()
+                    if isinstance(v, (int, float))
+                }
             if scalars:
                 out[name] = scalars
         return out

@@ -1,11 +1,13 @@
 """Mean end-point-error metrics (parity: ``anakin/metrics/meanepe.py``).
 
-The per-batch distance math runs jitted on device; only the (sum, count)
-scalars cross to the host per step.
+TPU redesign: masked (sum, count) accumulate ON DEVICE per feed — one
+async dispatch per key, no blocking device->host fetch in the train
+loop. The unseen-object corner filter (``meanepe.py:62-66``) becomes a
+device mask. Host sees scalars only in ``get_measures``.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,17 +18,26 @@ from artiboost_tpu.metrics.metric import AverageMeter, Metric
 from artiboost_tpu.utils.registry import METRIC
 
 
-@jax.jit
-def _epe_per_sample(pred: jnp.ndarray, targ: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, D) x2 -> (B,) mean keypoint distance."""
-    return jnp.mean(jnp.linalg.norm(pred - targ, axis=2), axis=1)
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("filter_idxs",))
+def _acc_epe(sum_: jnp.ndarray, n_: jnp.ndarray, pred: jnp.ndarray,
+             targ: jnp.ndarray, obj_idx, filter_idxs: tuple):
+    # the unseen-object mask is built INSIDE the jit from static indices:
+    # host-created mask constants would cost an upload round-trip per step
+    d = jnp.mean(jnp.linalg.norm(pred - targ, axis=2), axis=1)  # (B,)
+    mask = jnp.ones(d.shape, jnp.float32)
+    if filter_idxs:
+        for idx in filter_idxs:
+            mask = mask * (obj_idx != idx).astype(jnp.float32)
+    return sum_ + jnp.sum(d * mask), n_ + jnp.sum(mask)
 
 
 class _MeanEPE(Metric):
     def __init__(self, **cfg) -> None:
         super().__init__()
         self.val_keys_list: List[str] = cfg["VAL_KEYS"]
-        self.avg_meters: Dict[str, AverageMeter] = {k: AverageMeter() for k in self.val_keys_list}
         self.to_millimeters = cfg.get("MILLIMETERS", False)
         arg = cfg.get("ARG") or cfg.get("arg")
         self.filter_unseen_obj_idxs = (
@@ -37,37 +48,53 @@ class _MeanEPE(Metric):
 
     def reset(self):
         self.count = 0
-        for meter in self.avg_meters.values():
-            meter.reset()
+        self._acc: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {
+            k: (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+            for k in self.val_keys_list
+        }
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
         for key in self.val_keys_list:
             pred_val = preds[key]
             if "_abs" in key:
                 targ_key = key.replace("_abs", "")
-                val = targs[targ_key] + targs[Queries.ROOT_JOINT][:, None]
+                val = jnp.asarray(targs[targ_key]) \
+                    + jnp.asarray(targs[Queries.ROOT_JOINT])[:, None]
             else:
-                val = targs[key]
+                val = jnp.asarray(targs[key])
             assert pred_val.ndim == 3, f"expected (B, N, 2|3), got {pred_val.shape}"
-            dist_batch = np.asarray(_epe_per_sample(pred_val, val))
-            if self.to_millimeters:
-                dist_batch = dist_batch * 1000.0
 
             if "corners" in key and len(self.filter_unseen_obj_idxs) > 0:
-                obj_idx = np.asarray(targs[Queries.OBJ_IDX])
-                mask = np.ones_like(obj_idx, dtype=bool)
-                for idx in self.filter_unseen_obj_idxs:
-                    mask &= obj_idx != idx
-                dist_batch = dist_batch[mask]
+                obj_idx = jnp.asarray(targs[Queries.OBJ_IDX])
+                filt = tuple(int(i) for i in self.filter_unseen_obj_idxs)
+            else:
+                obj_idx = pred_val[:, 0, 0]  # unused when filt is empty
+                filt = ()
 
-            self.avg_meters[key].update(float(dist_batch.sum()), n=int(dist_batch.shape[0]))
+            s, n = self._acc[key]
+            self._acc[key] = _acc_epe(s, n, pred_val, val, obj_idx, filt)
         self.count += int(preds[self.val_keys_list[0]].shape[0])
 
+    @property
+    def avg_meters(self) -> Dict[str, AverageMeter]:
+        """Host view of the device accumulators (fetches; use at epoch
+        boundaries, not per step)."""
+        scale = 1000.0 if self.to_millimeters else 1.0
+        flat = np.asarray(jnp.stack(
+            [jnp.stack(self._acc[k]) for k in self.val_keys_list]))  # (K, 2)
+        out = {}
+        for k, (s, n) in zip(self.val_keys_list, flat):
+            m = AverageMeter()
+            m.update(float(s) * scale, n=int(round(float(n))))
+            out[k] = m
+        return out
+
     def get_measures(self, **kwargs) -> Dict[str, float]:
-        return {f"{k}_mepe": self.avg_meters[k].avg for k in self.val_keys_list}
+        return {f"{k}_mepe": v.avg for k, v in self.avg_meters.items()}
 
     def __str__(self):
-        return " | ".join(f"{k}_mepe: {self.avg_meters[k].avg:6.4f}" for k in self.val_keys_list)
+        return " | ".join(f"{k}_mepe: {v.avg:6.4f}"
+                          for k, v in self.avg_meters.items())
 
 
 @METRIC.register_module

@@ -1,13 +1,17 @@
 """PCK / AUC metrics (parity: ``anakin/metrics/pckmetric.py``).
 
-Distances accumulate as numpy chunks per keypoint (host side, eval
-only); the distance math itself runs on device.
+TPU redesign: per-batch distances stay ON DEVICE as deferred jnp chunks
+(one async norm dispatch per feed, no blocking fetch in the train loop);
+``get_measures`` concatenates and crosses to the host ONCE, after which
+the curve/AUC logic is identical to the reference's.
 """
 from __future__ import annotations
 
 from abc import abstractmethod
 from typing import Dict, List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries
@@ -16,6 +20,13 @@ _trapezoid = getattr(np, "trapezoid", None) or np.trapz
 from artiboost_tpu.metrics.metric import Metric
 from artiboost_tpu.utils.misc import CONST
 from artiboost_tpu.utils.registry import METRIC
+
+
+@jax.jit
+def _dist_chunk(kp_preds: jnp.ndarray, kp_targs: jnp.ndarray,
+                kp_vis: jnp.ndarray):
+    return (jnp.linalg.norm(kp_preds - kp_targs, axis=-1),
+            kp_vis.astype(jnp.float32))
 
 
 class PCKMetric(Metric):
@@ -35,23 +46,39 @@ class PCKMetric(Metric):
     def _get_predictions(self, preds: Dict, targs: Dict):
         """-> (kp_preds (B,N,D), kp_targs (B,N,D), kp_vis (B,N))."""
 
+    _FOLD = 64  # device chunks per host fold: a fixed fold width keeps
+    # the concat executable cached (a grow-as-you-go concat would
+    # recompile at every new length) and costs one fetch per _FOLD feeds
+
     def reset(self):
-        self._dists: List[np.ndarray] = []  # chunks of (B, N)
-        self._vis: List[np.ndarray] = []
+        self._dists: List[jnp.ndarray] = []  # device chunks of (B, N)
+        self._vis: List[jnp.ndarray] = []
+        self._host_dists: List[np.ndarray] = []
+        self._host_vis: List[np.ndarray] = []
         self.count = 0
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
         kp_preds, kp_targs, kp_vis = self._get_predictions(preds, targs)
-        kp_preds = np.asarray(kp_preds)
-        kp_targs = np.asarray(kp_targs)
-        kp_vis = np.asarray(kp_vis).astype(bool)
-        dist = np.linalg.norm(kp_preds - kp_targs, axis=-1)
+        dist, vis = _dist_chunk(jnp.asarray(kp_preds), jnp.asarray(kp_targs),
+                                jnp.asarray(kp_vis))
         self._dists.append(dist)
-        self._vis.append(kp_vis)
+        self._vis.append(vis)
         self.count += kp_preds.shape[0]
+        if len(self._dists) >= self._FOLD:
+            self._fold()
+
+    def _fold(self):
+        if not self._dists:
+            return
+        self._host_dists.append(np.asarray(jnp.concatenate(self._dists, 0)))
+        self._host_vis.append(np.asarray(jnp.concatenate(self._vis, 0)))
+        self._dists, self._vis = [], []
 
     def _stacked(self):
-        return np.concatenate(self._dists, 0), np.concatenate(self._vis, 0)
+        self._fold()
+        dists = np.concatenate(self._host_dists, 0)
+        vis = np.concatenate(self._host_vis, 0) > 0.5
+        return dists, vis
 
     def get_pck_all(self, threshold) -> float:
         dists, vis = self._stacked()

@@ -102,7 +102,7 @@ class ValMetricMean3DEPE2(Metric):
             if self.to_millimeters:
                 vals = vals * 1000.0
             self.meters[key].update(oid_c, vid_c, gid_c, vals, synth)
-        self.count += int(np.asarray(synth).shape[0])
+        self.count += int(synth.shape[0])  # shape metadata: no device fetch
 
     def get_measures(self, **kwargs):
         return {k: self.meters[k].as_dict() for k in self.val_keys_list}
@@ -121,6 +121,14 @@ class ValMetricMean3DEPE2(Metric):
         maps = [m.averaged() for m in self.meters.values()]
         avg = sum(m[0] for m in maps) / len(maps)
         return avg, maps[0][1]
+
+    def get_scalar_measures(self) -> Dict[str, float]:
+        """Cheap scalar summary for TB/text dumps: mean over seen
+        triplets (full 57k-entry dict building costs seconds)."""
+        avg, seen = self.get_averaged_maps()
+        seen_f = seen.astype(jnp.float32)
+        mean = jnp.sum(avg * seen_f) / jnp.maximum(jnp.sum(seen_f), 1.0)
+        return {"val_epe_mean": float(mean)}
 
     def __str__(self):
         return ""
@@ -184,15 +192,18 @@ class ValMetricAR2(Metric):
     def reset(self):
         self.count = 0
         self.meter.reset()
+        self._ones_pad = None
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
-        obj_idx = jnp.asarray(targs[Queries.OBJ_IDX], jnp.int32) - 1
+        obj_idx = jnp.maximum(jnp.asarray(targs[Queries.OBJ_IDX], jnp.int32) - 1, 0)
         obj_can = (
             targs[Queries.CORNERS_CAN] if self.mssd_use_corners else targs[Queries.OBJ_VERTS_CAN]
         )
         pad = targs.get(Queries.PADDING_MASK)
         if pad is None or self.mssd_use_corners:
-            pad = jnp.ones(obj_can.shape[:2], jnp.float32)
+            if self._ones_pad is None or self._ones_pad.shape != obj_can.shape[:2]:
+                self._ones_pad = jnp.ones(obj_can.shape[:2], jnp.float32)
+            pad = self._ones_pad  # cached: one upload, not one per feed
         vals = mssd_values(
             preds["box_rot_rotmat"],
             preds["boxroot_3d_abs"].reshape(-1, 1, 3),
@@ -207,10 +218,18 @@ class ValMetricAR2(Metric):
         vid = jnp.maximum(jnp.asarray(targs[SynthQueries.PERSP_ID], jnp.int32), 0)
         gid = jnp.maximum(jnp.asarray(targs[SynthQueries.GRASP_ID], jnp.int32), 0)
         self.meter.update(oid, vid, gid, vals, synth)
-        self.count += int(np.asarray(synth).shape[0])
+        self.count += int(synth.shape[0])  # shape metadata: no device fetch
 
     def get_measures(self, **kwargs):
         return {"mssd": self.meter.as_dict()}
+
+    def get_scalar_measures(self) -> Dict[str, float]:
+        """Cheap scalar summary for TB/text dumps: mean over seen
+        triplets (full 57k-entry dict building costs seconds)."""
+        avg, seen = self.meter.averaged()
+        seen_f = seen.astype(jnp.float32)
+        mean = jnp.sum(avg * seen_f) / jnp.maximum(jnp.sum(seen_f), 1.0)
+        return {"val_mssd_mean": float(mean)}
 
     def get_measures_averaged(self):
         return self.meter.as_dict()

@@ -16,16 +16,24 @@ def test_transform_runs_in_worker():
 
 
 def test_overlaps_producer_and_consumer():
-    def slow_gen():
-        for i in range(4):
-            time.sleep(0.05)
-            yield i
+    """Structural overlap check (wall-clock thresholds flake on this
+    1-core host when the suite loads it): while the consumer holds the
+    first item, the producer must keep filling the queue behind it."""
+    import threading
 
-    t0 = time.time()
-    for _ in prefetch(slow_gen(), depth=2):
-        time.sleep(0.05)  # consumer work overlaps producer sleep
-    elapsed = time.time() - t0
-    assert elapsed < 0.35, elapsed  # serial would be ~0.4s
+    produced = threading.Event()
+
+    def gen():
+        yield 0
+        yield 1
+        produced.set()  # ran while the consumer was still holding item 0
+        yield 2
+
+    it = iter(prefetch(gen(), depth=2))
+    assert next(it) == 0
+    # no new next() call: any further production is overlap, by definition
+    assert produced.wait(timeout=5.0)
+    assert list(it) == [1, 2]
 
 
 def test_abandoned_iteration_stops_producer():
