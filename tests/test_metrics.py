@@ -158,3 +158,73 @@ class TestEvaluator:
         assert "Mean3DEPE" in striped
         ev.reset_all()
         assert ev.losses_metric.count == 0
+
+
+class TestDeviceAccumulation:
+    """The TPU redesign: feeds are async device accumulations; values
+    cross to host only at measure time."""
+
+    def test_pck_fold_boundary(self, rng):
+        """Crossing the 64-feed fold must not change results."""
+        m = Hand3DPCKMetric(VAL_MIN=0.0, VAL_MAX=0.05, STEPS=20)
+        preds, targs = _batch(rng)
+        for _ in range(m._FOLD + 7):  # 64 device chunks fold, 7 pending
+            m.feed(preds, targs)
+        meas = m.get_measures()
+        assert m.count == (m._FOLD + 7) * 6
+        assert meas["auc_all"] == pytest.approx(1.0)
+        # fresh metric fed once gives the same curves
+        m2 = Hand3DPCKMetric(VAL_MIN=0.0, VAL_MAX=0.05, STEPS=20)
+        m2.feed(preds, targs)
+        np.testing.assert_allclose(
+            meas["pck_curve_per_kp"], m2.get_measures()["pck_curve_per_kp"])
+
+    def test_losses_running_average(self):
+        from artiboost_tpu.metrics.lossesmetric import LossesMetric
+        m = LossesMetric()
+        for i in range(5):
+            m.feed(losses={"final_loss": jnp.float32(i), "aux": None},
+                   batch_size=4)
+        meas = m.get_measures()
+        assert meas["final_loss"] == pytest.approx(2.0)  # mean of 0..4
+        assert m.count == 20
+        m.reset()
+        assert m.get_measures() == {}
+
+    def test_meanepe_matches_host_math(self, rng):
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        preds, targs = _batch(rng)
+        shifted = dict(preds)
+        shifted["joints_3d_abs"] = preds["joints_3d_abs"] + jnp.asarray([3e-3, 0, 0])
+        for _ in range(3):
+            m.feed(shifted, targs)
+        got = m.get_measures()["joints_3d_abs_mepe"]
+        assert got == pytest.approx(3.0, rel=1e-4)  # 3mm offset
+
+    def test_feed_with_sharded_batch(self, rng):
+        """Metric feeds must accept mesh-sharded preds/targs (the pjit
+        train step returns sharded outputs on a multi-chip mesh)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        preds, targs = _batch(rng, B=8)
+        for q in (SynthQueries.IS_SYNTH, SynthQueries.OBJ_ID,
+                  SynthQueries.PERSP_ID, SynthQueries.GRASP_ID):
+            targs[q] = jnp.concatenate([targs[q], targs[q][:2]])  # pad 6 -> 8
+        sh = NamedSharding(mesh, P("data"))
+        preds = {k: jax.device_put(v, sh) for k, v in preds.items()}
+        targs = {k: jax.device_put(v, sh) for k, v in targs.items()}
+
+        ev = build_evaluator([
+            {"TYPE": "LossesMetric", "VIS_LOSS_KEYS": []},
+            {"TYPE": "Mean3DEPE", "VAL_KEYS": ["joints_3d_abs"], "MILLIMETERS": True},
+            {"TYPE": "Hand3DPCKMetric", "VAL_MIN": 0.0, "VAL_MAX": 0.05, "STEPS": 20},
+            {"TYPE": "ValMetricMean3DEPE2", "VAL_KEYS": ["joints_3d_abs"],
+             "CCV_SHAPE": [4, 8, 8]},
+        ])
+        ev.feed_all(preds, targs, {"final_loss": jnp.asarray(0.25)})
+        striped = ev.get_measures_all_striped()
+        assert striped["LossesMetric"]["final_loss"] == pytest.approx(0.25)
+        assert striped["Mean3DEPE"]["joints_3d_abs_mepe"] == pytest.approx(0.0, abs=1e-4)
+        assert "val_epe_mean" in striped["ValMetricMean3DEPE2"]
