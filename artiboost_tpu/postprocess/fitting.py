@@ -47,8 +47,13 @@ class FittingUnit:
         self.lr = lr
         self.iknet = IKNet()
         if iknet_params is None:
-            iknet_params = self.iknet.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 21, 3)), train=False)
+            import os
+            native = "assets/iknet_tpu.npz"  # script/train_iknet.py output
+            if os.path.isfile(native):
+                iknet_params = load_iknet_params(native)
+            else:
+                iknet_params = self.iknet.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 21, 3)), train=False)
         self.iknet_params = iknet_params
         self._fit = jax.jit(self._fit_impl)
 
@@ -105,3 +110,94 @@ class FittingUnit:
 
     def __call__(self, joints_abs, batch: Optional[Dict] = None) -> Dict:
         return self._fit(jnp.asarray(joints_abs))
+
+
+# --------------------------------------------------------------------------
+# Training IKNet (replaces the released torch iknet checkpoint)
+# --------------------------------------------------------------------------
+#
+# The reference ships pretrained iknet weights and never trains them
+# (``anakin/postprocess/iknet/checkpoints.py``). Ours trains natively on
+# synthetic MANO FK data: sample poses, FK to joints, normalize exactly as
+# the fitting unit does, and supervise the predicted per-joint quaternions
+# (sign-invariant) plus FK joint reconstruction THROUGH quat->rotmat FK —
+# never through quat_to_aa, whose backward is singular at identity.
+
+
+def make_iknet_train_step(mano_model: ManoModel, iknet: IKNet,
+                          learning_rate: float = 1e-3,
+                          w_quat: float = 1.0, w_joints: float = 10.0):
+    """-> (init_fn(key) -> (vars, opt_state), step_fn).
+
+    step_fn(variables, opt_state, key) -> (variables, opt_state, metrics).
+    """
+    from artiboost_tpu.mano.layer import mano_forward_rotmat
+    from artiboost_tpu.utils.transform import aa_to_quat, quat_to_rotmat
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(key):
+        variables = iknet.init(key, jnp.zeros((1, 21, 3)), train=True)
+        return variables, tx.init(variables["params"])
+
+    def _sample_batch(key, B=256):
+        k1, k2, k3 = jax.random.split(key, 3)
+        sigma = jax.random.uniform(k3, (B, 1), minval=0.05, maxval=0.5)
+        pose = jax.random.normal(k1, (B, 48)) * sigma
+        shape = jax.random.normal(k2, (B, 10)) * 0.5
+        out = mano_forward(mano_model, pose, shape)
+        j = out.joints - out.joints[:, 0:1]
+        bone = jnp.linalg.norm(j[:, 9] - j[:, 0], axis=1, keepdims=True)[:, None]
+        j_norm = j / jnp.maximum(bone, 1e-8)
+        q_tgt = aa_to_quat(pose.reshape(B, 16, 3))
+        # canonical sign (w >= 0) so the sign-invariant loss is stable
+        q_tgt = q_tgt * jnp.sign(q_tgt[..., :1] + 1e-12)
+        return j_norm, q_tgt, shape
+
+    def loss_fn(params, batch_stats, key):
+        j_norm, q_tgt, shape = _sample_batch(key)
+        (so3, quat), updates = iknet.apply(
+            {"params": params, "batch_stats": batch_stats}, j_norm,
+            train=True, mutable=["batch_stats"])
+        l_quat = jnp.mean(jnp.minimum(
+            jnp.sum((quat - q_tgt) ** 2, -1),
+            jnp.sum((quat + q_tgt) ** 2, -1)))
+        rots = quat_to_rotmat(quat)
+        out = mano_forward_rotmat(mano_model, rots, shape)
+        j = out.joints - out.joints[:, 0:1]
+        bone = jnp.linalg.norm(j[:, 9] - j[:, 0], axis=1, keepdims=True)[:, None]
+        j_rec = j / jnp.maximum(bone, 1e-8)
+        l_joints = jnp.mean(jnp.sum((j_rec - j_norm) ** 2, -1))
+        loss = w_quat * l_quat + w_joints * l_joints
+        return loss, (updates["batch_stats"],
+                      {"loss": loss, "l_quat": l_quat, "l_joints": l_joints})
+
+    @jax.jit
+    def step_fn(variables, opt_state, key):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"],
+                                   variables.get("batch_stats", {}), key)
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return {"params": params, "batch_stats": new_stats}, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+def save_iknet_params(variables, path: str) -> None:
+    """Flat-npz snapshot (pairs with ``load_iknet_params``)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    np.savez(path, **flat)
+
+
+def load_iknet_params(path: str):
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    blob = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): jnp.asarray(blob[k])
+                           for k in blob.files})

@@ -115,12 +115,19 @@ class HOSubmitEpochPass(SubmitEpochPass):
         res_joints: List[np.ndarray] = []
         res_verts: List[np.ndarray] = []
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # host-CPU multi-device runs deadlock under unbounded async
+        # dispatch (thread-pool rendezvous exhaustion); real TPU slices
+        # pipeline freely (see train_artiboost.epoch_pass)
+        cpu_mesh_sync = (jax.default_backend() == "cpu"
+                         and len(jax.devices()) > 1)
         for bidx, batch in enumerate(data_loader):
             rng, sub = jax.random.split(rng)
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if not isinstance(v, (str, list))}
             preds, losses = eval_step(state, batch, sub)
             evaluator.feed_all(preds, batch, losses)
+            if cpu_mesh_sync:
+                jax.block_until_ready(preds["joints_3d_abs"])
 
             if self.dump or self.fit_mesh or self.draw:
                 pred_joints = np.asarray(preds["joints_3d_abs"])

@@ -80,6 +80,14 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
                  and artiboost_loader is not None
                  and artiboost_loader.use_synth
                  and artiboost_loader.generated is not None)
+    # On a HOST-CPU multi-device mesh (virtual-device tests), unbounded
+    # async dispatch deadlocks: each in-flight multi-device program parks
+    # its per-device executions at a collective rendezvous, and the
+    # host's small thread pool can strand program N's participants behind
+    # program N+1's. Real TPU slices have per-device hardware queues and
+    # need no such bound — keep full async pipelining there.
+    cpu_mesh_sync = (mesh is not None and jax.default_backend() == "cpu"
+                     and mesh.devices.size > 1)
     iterable = artiboost_loader.iter_parts() if use_fused else loader
     # overlap host batch assembly (decode + native warp + collate) with
     # the device step — the DataLoader-worker role (prefetch.py)
@@ -114,6 +122,8 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
         if profiler_cfg and epoch == 0 and bidx == profiler_cfg[1]:
             profiling.stop_trace()
         evaluator.feed_all(preds, batch, losses)
+        if cpu_mesh_sync:
+            jax.block_until_ready(losses["final_loss"])
         n_batches += 1
         if bidx % log_every == 0:
             bar.set_postfix_str(str(evaluator))
