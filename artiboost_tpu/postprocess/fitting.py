@@ -81,7 +81,10 @@ class FittingUnit:
             reg_beta = jnp.mean((beta - beta_init) ** 2)
             errkp = jnp.mean((j_norm - joints_norm) ** 2)
             j_abs = j_norm * bone + root
-            return 0.01 * reg + 0.01 * reg_beta + errkp + 100.0 * geo_prior(j_abs)
+            # geo_prior carries its own 1e4/1e5 weights; an extra factor
+            # here swamps the keypoint term (measured: 20-step fits got
+            # WORSE than the IKNet init, 7.1mm -> 9.6mm, with 100x)
+            return 0.01 * reg + 0.01 * reg_beta + errkp + geo_prior(j_abs)
 
         grad_fn = jax.grad(residuals)
         params = {"so3": so3_init, "beta": beta_init}

@@ -60,3 +60,41 @@ class TestFitting:
                 joints[0, j] = [row * 0.03, k * 0.03, 0.0]
         val = float(geo_prior(jnp.asarray(joints)))
         assert val < 1e-3
+
+
+class TestIKNetTraining:
+    def test_train_step_reduces_loss(self, key):
+        """Native IKNet training recipe (the reference ships pretrained
+        weights and never trains; script/train_iknet.py is ours)."""
+        from artiboost_tpu.mano.model import synthetic_mano_model
+        from artiboost_tpu.postprocess.fitting import make_iknet_train_step
+
+        model = synthetic_mano_model()
+        net = IKNet(hidden_size_pose=(64, 64))
+        init_fn, step_fn = make_iknet_train_step(model, net, learning_rate=3e-3)
+        variables, opt_state = init_fn(key)
+        losses = []
+        for i in range(8):
+            variables, opt_state, metrics = step_fn(
+                variables, opt_state, jax.random.fold_in(key, i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert min(losses[4:]) < losses[0]
+
+    def test_params_roundtrip(self, key, tmp_path):
+        from artiboost_tpu.mano.model import synthetic_mano_model
+        from artiboost_tpu.postprocess.fitting import (load_iknet_params,
+                                                       make_iknet_train_step,
+                                                       save_iknet_params)
+
+        model = synthetic_mano_model()
+        net = IKNet(hidden_size_pose=(64, 64))
+        init_fn, _ = make_iknet_train_step(model, net)
+        variables, _ = init_fn(key)
+        path = str(tmp_path / "ik.npz")
+        save_iknet_params(variables, path)
+        loaded = load_iknet_params(path)
+        j = jnp.zeros((2, 21, 3))
+        a = net.apply(variables, j, train=False)[0]
+        b = net.apply(loaded, j, train=False)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
