@@ -185,3 +185,38 @@ def convert_hybrid_baseline(path: str) -> Dict:
                    "box_head": box_params},
         "batch_stats": {"backbone": bb_stats, "hybrid_head": head_stats},
     }
+
+
+def convert_hpregnet(path: str) -> Dict:
+    """Released HOPRegNet ("Reg") .pth.tar -> flax variables dict.
+
+    Reference layout (``anakin/models/hpregnet.py:34-37``,
+    ``anakin/models/mano.py:65-96``): ``base_net.*`` ResNet18,
+    ``mano_branch.base_layer.{0,2}`` two 512-wide Linears (ReLU
+    interleaved at odd indices), ``mano_branch.pose_reg`` /
+    ``mano_branch.shape_reg`` heads, ``obj_transfhead.decoder.0`` +
+    ``obj_transfhead.final_layer`` (inp//2 bottleneck, 9-dim out).
+    """
+    sd = load_torch_state_dict(path)
+    bb_params, bb_stats = convert_resnet(sd, "base_net.")
+
+    def dense(torch_name):
+        return {"kernel": linear_kernel(sd[f"{torch_name}.weight"]),
+                "bias": sd[f"{torch_name}.bias"]}
+
+    mano_branch = {
+        "Dense_0": dense("mano_branch.base_layer.0"),
+        "Dense_1": dense("mano_branch.base_layer.2"),
+        "Dense_2": dense("mano_branch.pose_reg"),
+    }
+    if "mano_branch.shape_reg.weight" in sd:
+        mano_branch["Dense_3"] = dense("mano_branch.shape_reg")
+    transfhead = {
+        "Dense_0": dense("obj_transfhead.decoder.0"),
+        "Dense_1": dense("obj_transfhead.final_layer"),
+    }
+    return {
+        "params": {"backbone": bb_params, "mano_branch": mano_branch,
+                   "obj_transfhead": transfhead},
+        "batch_stats": {"backbone": bb_stats},
+    }

@@ -186,3 +186,56 @@ def test_iknet_stack_conversion_parity():
     _, quat = fik.apply({"params": params, "batch_stats": stats},
                         jnp.asarray(_np(joints)), train=False)
     np.testing.assert_allclose(np.asarray(quat), ref, **TOL)
+
+
+def test_hpregnet_head_conversion_parity():
+    """convert_hpregnet maps the ManoBranch/TransHead Linears with
+    reference state-dict naming (hpregnet.py:34-37, mano.py:65-96)."""
+    from artiboost_tpu.utils.torch_convert import convert_hpregnet
+
+    class _TorchHeads(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_layer = torch.nn.Sequential(
+                torch.nn.Linear(512, 512), torch.nn.ReLU(),
+                torch.nn.Linear(512, 512), torch.nn.ReLU())
+            self.pose_reg = torch.nn.Linear(512, 18)
+            self.shape_reg = torch.nn.Linear(512, 10)
+
+    class _TorchTrans(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.decoder = torch.nn.Sequential(
+                torch.nn.Linear(512, 256), torch.nn.ReLU())
+            self.final_layer = torch.nn.Linear(256, 9)
+
+        def forward(self, x):
+            return self.final_layer(self.decoder(x))
+
+    heads, trans = _TorchHeads(), _TorchTrans()
+    sd = {"mano_branch." + k: v.detach().numpy()
+          for k, v in heads.state_dict().items()}
+    sd.update({"obj_transfhead." + k: v.detach().numpy()
+               for k, v in trans.state_dict().items()})
+    # minimal fake resnet so convert_resnet has something to chew on
+    mini = _TorchMiniResNet()
+    sd.update({"base_net." + k: v.detach().numpy()
+               for k, v in mini.state_dict().items()})
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pth.tar") as f:
+        torch.save({"state_dict": {k: torch.as_tensor(v)
+                                   for k, v in sd.items()}}, f.name)
+        variables = convert_hpregnet(f.name)
+
+    p = variables["params"]
+    # forward parity of the TransHead through our flax module
+    from artiboost_tpu.models.hpregnet import TransHead
+    x = torch.randn(4, 512)
+    ref = _np(trans(x))
+    out = TransHead(out_dim=9).apply({"params": p["obj_transfhead"]},
+                                     jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+    # mano branch dense stack shapes landed
+    assert p["mano_branch"]["Dense_2"]["kernel"].shape == (512, 18)
+    assert p["mano_branch"]["Dense_3"]["bias"].shape == (10,)
