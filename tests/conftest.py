@@ -23,6 +23,14 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Synchronous CPU dispatch: with async dispatch, concurrently in-flight
+# multi-device programs park per-device executions at collective
+# rendezvous and the 1-core host's thread pool can strand program N's
+# participants behind program N+1's — a resource deadlock (reproduced
+# twice: suite wedged at 0% CPU; before the rendezvous-timeout raise it
+# manifested as the mystery mid-suite SIGABRT). Real TPUs pipeline in
+# per-device hardware queues and keep full async dispatch.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
