@@ -185,10 +185,15 @@ def rasterize_batch_pallas(
     face_valid: Optional[jnp.ndarray],  # (B, F) or None
     height: int,
     width: int,
-    tile_px: int = 1024,
+    tile_px: Optional[int] = None,
     cull_backfaces: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background."""
+    if tile_px is None:
+        # measured sweet spots: at 224px a tile of ~4.5 rows amortizes
+        # per-tile overhead (100.1 ms vs 101.7 @512); at >=512px a
+        # single-row tile's tighter y-culling wins (116 ms vs 121 @1024)
+        tile_px = 512 if width >= 512 else 1024
     B, V, _ = verts_screen.shape
     F = faces.shape[-2]
     assert vert_attrs.shape[-1] == 3, "pallas path is specialized to rgb"
