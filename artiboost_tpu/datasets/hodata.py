@@ -331,6 +331,34 @@ class HODataset(ABC):
         return ho_collate(geoms)
 
 
+def padded_host_loader(dataset, batch_size: int, shuffle: bool = False,
+                       seed: int = 0):
+    """Batched host iteration over the FULL dataset for eval passes.
+
+    jit needs static shapes, so the final partial batch is repeat-padded
+    to ``batch_size``; padded batches carry ``Queries.SAMPLE_VALID``
+    (1 real / 0 pad) which the metrics and the Codalab dump honor. Full
+    batches omit the key so the hot path stays maskless (no per-step
+    device upload). Covers every sample, like the reference's torch
+    DataLoader with ``drop_last=False`` (train/submit_reload.py:38-44).
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for s in range(0, n, batch_size):
+        idx = order[s:s + batch_size].tolist()
+        n_valid = len(idx)
+        while len(idx) < batch_size:
+            idx.append(idx[-1])
+        batch = dataset.sample_batch(idx)
+        if n_valid < batch_size:
+            valid = np.zeros((batch_size,), np.float32)
+            valid[:n_valid] = 1.0
+            batch[Queries.SAMPLE_VALID] = valid
+        yield batch
+
+
 def ho_collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
     """Stack sample dicts; repeat-pad variable-size vertex fields and emit
     PADDING_MASK (parity: hodata_collate)."""

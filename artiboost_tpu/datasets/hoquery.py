@@ -50,6 +50,11 @@ class Queries:
     PADDING_MASK = "padding_mask"
     FACE_PADDING_MASK = "face_padding_mask"
 
+    # TPU addition (no reference counterpart): (B,) 1/0 mask marking rows
+    # that are real samples vs repeat-padding added to keep the final
+    # batch's shape static for jit. Metrics and the Codalab dump honor it.
+    SAMPLE_VALID = "sample_valid"
+
 
 class SynthQueries:
     IS_SYNTH = "is_synth"

@@ -60,6 +60,10 @@ class AR(Metric):
         # everything stays on device: np.asarray here would cost a
         # blocking fetch + re-upload round-trip per feed
         obj_idx = jnp.asarray(targs[Queries.OBJ_IDX]).astype(jnp.int32)
+        if Queries.SAMPLE_VALID in targs:
+            # repeat-padded eval-tail rows: obj id -1 drops them on host
+            valid = jnp.asarray(targs[Queries.SAMPLE_VALID]) > 0
+            obj_idx = jnp.where(valid, obj_idx, -1)
         obj_can = (
             targs[Queries.CORNERS_CAN] if self.mssd_use_corners else targs[Queries.OBJ_VERTS_CAN]
         )
@@ -91,12 +95,14 @@ class AR(Metric):
         self._errors, self._err_obj = [], []
 
     def _collect(self):
-        """-> (errors (N,), obj_idx (N,)) on host."""
+        """-> (errors (N,), obj_idx (N,)) on host; padded rows dropped."""
         self._fold()
         if not self._host_errors:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int32)
-        return (np.concatenate(self._host_errors),
-                np.concatenate(self._host_obj))
+        errors = np.concatenate(self._host_errors)
+        obj = np.concatenate(self._host_obj)
+        keep = obj >= 0
+        return errors[keep], obj[keep]
 
     @property
     def objs_error(self) -> Dict[int, AverageMeter]:

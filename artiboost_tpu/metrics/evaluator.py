@@ -4,6 +4,9 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import numpy as np
+
+from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.metrics.lossesmetric import LossesMetric
 from artiboost_tpu.metrics.metric import Metric
 from artiboost_tpu.metrics.vismetric import VisMetric
@@ -35,6 +38,11 @@ class Evaluator:
     def feed_all(self, preds: Dict, targs: Dict, losses: Dict, **kwargs):
         self.clean = False
         batch_size = preds[next(iter(preds))].shape[0]
+        if Queries.SAMPLE_VALID in targs:
+            # repeat-padded eval tail: weight the loss running averages
+            # by the true sample count (the fetch happens at most once —
+            # only the final batch of an eval pass carries the mask)
+            batch_size = int(np.asarray(targs[Queries.SAMPLE_VALID]).sum())
         for metric in self._metrics_list:
             if isinstance(metric, LossesMetric):
                 metric.feed(losses=losses, batch_size=batch_size)

@@ -21,16 +21,22 @@ from artiboost_tpu.utils.registry import METRIC
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("filter_idxs",))
+@partial(jax.jit, static_argnames=("filter_idxs", "use_valid"))
 def _acc_epe(sum_: jnp.ndarray, n_: jnp.ndarray, pred: jnp.ndarray,
-             targ: jnp.ndarray, obj_idx, filter_idxs: tuple):
+             targ: jnp.ndarray, obj_idx, filter_idxs: tuple,
+             valid, use_valid: bool = False):
     # the unseen-object mask is built INSIDE the jit from static indices:
-    # host-created mask constants would cost an upload round-trip per step
+    # host-created mask constants would cost an upload round-trip per step.
+    # `valid` (the repeat-padded-tail mask, Queries.SAMPLE_VALID) is a
+    # device array already present in padded eval batches; use_valid is
+    # static so full batches compile a maskless executable.
     d = jnp.mean(jnp.linalg.norm(pred - targ, axis=2), axis=1)  # (B,)
     mask = jnp.ones(d.shape, jnp.float32)
     if filter_idxs:
         for idx in filter_idxs:
             mask = mask * (obj_idx != idx).astype(jnp.float32)
+    if use_valid:
+        mask = mask * valid.astype(jnp.float32)
     return sum_ + jnp.sum(d * mask), n_ + jnp.sum(mask)
 
 
@@ -71,8 +77,12 @@ class _MeanEPE(Metric):
                 obj_idx = pred_val[:, 0, 0]  # unused when filt is empty
                 filt = ()
 
+            valid = targs.get(Queries.SAMPLE_VALID)
             s, n = self._acc[key]
-            self._acc[key] = _acc_epe(s, n, pred_val, val, obj_idx, filt)
+            self._acc[key] = _acc_epe(
+                s, n, pred_val, val, obj_idx, filt,
+                pred_val[:, 0, 0] if valid is None else jnp.asarray(valid),
+                use_valid=valid is not None)
         self.count += int(preds[self.val_keys_list[0]].shape[0])
 
     @property

@@ -59,8 +59,12 @@ class PCKMetric(Metric):
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
         kp_preds, kp_targs, kp_vis = self._get_predictions(preds, targs)
+        kp_vis = jnp.asarray(kp_vis)
+        if Queries.SAMPLE_VALID in targs:
+            # repeat-padded eval-tail rows count as invisible keypoints
+            kp_vis = kp_vis * jnp.asarray(targs[Queries.SAMPLE_VALID])[:, None]
         dist, vis = _dist_chunk(jnp.asarray(kp_preds), jnp.asarray(kp_targs),
-                                jnp.asarray(kp_vis))
+                                kp_vis)
         self._dists.append(dist)
         self._vis.append(vis)
         self.count += kp_preds.shape[0]

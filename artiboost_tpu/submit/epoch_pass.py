@@ -141,12 +141,20 @@ class HOSubmitEpochPass(SubmitEpochPass):
                     self.draw_batch(bidx, batch, preds, fitted_verts)
                 if not (self.dump or self.fit_mesh):
                     continue
+                # repeat-padded tail rows (static jit shapes) must not
+                # reach the dump: Codalab expects exactly len(dataset)
+                # entries (reference dumps per-sample,
+                # hodata_submit_epoch_pass.py:129-156)
+                n_valid = pred_joints.shape[0]
+                if Queries.SAMPLE_VALID in batch:
+                    n_valid = int(np.asarray(
+                        batch[Queries.SAMPLE_VALID]).sum())
                 # HO3D Codalab convention: MANO-native joint order, y/z flip
-                pj = pred_joints[:, unorder_idxs]
+                pj = pred_joints[:n_valid, unorder_idxs]
                 pj[:, :, 0] = -pj[:, :, 0]
                 res_joints.extend([-p for p in pj])
                 if fitted_verts is not None:
-                    fv = fitted_verts.copy()
+                    fv = fitted_verts[:n_valid].copy()
                     fv[:, :, 0] = -fv[:, :, 0]
                     res_verts.extend([-v for v in fv])
                 else:

@@ -209,7 +209,12 @@ def convert_hpregnet(path: str) -> Dict:
         "Dense_1": dense("mano_branch.base_layer.2"),
         "Dense_2": dense("mano_branch.pose_reg"),
     }
-    if "mano_branch.shape_reg.weight" in sd:
+    # the reference wraps shape_reg in nn.Sequential(nn.Linear(...))
+    # (anakin/models/mano.py:95), so released checkpoints carry
+    # "mano_branch.shape_reg.0.weight"; accept a bare Linear too.
+    if "mano_branch.shape_reg.0.weight" in sd:
+        mano_branch["Dense_3"] = dense("mano_branch.shape_reg.0")
+    elif "mano_branch.shape_reg.weight" in sd:
         mano_branch["Dense_3"] = dense("mano_branch.shape_reg")
     transfhead = {
         "Dense_0": dense("obj_transfhead.decoder.0"),

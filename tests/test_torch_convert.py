@@ -200,7 +200,8 @@ def test_hpregnet_head_conversion_parity():
                 torch.nn.Linear(512, 512), torch.nn.ReLU(),
                 torch.nn.Linear(512, 512), torch.nn.ReLU())
             self.pose_reg = torch.nn.Linear(512, 18)
-            self.shape_reg = torch.nn.Linear(512, 10)
+            # the reference wraps shape_reg in nn.Sequential (mano.py:95)
+            self.shape_reg = torch.nn.Sequential(torch.nn.Linear(512, 10))
 
     class _TorchTrans(torch.nn.Module):
         def __init__(self):

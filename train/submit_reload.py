@@ -32,13 +32,11 @@ from artiboost_tpu.utils.registry import DATASET, build_from_cfg
 
 
 def _host_loader(dataset, batch_size):
-    n = len(dataset)
-    for s in range(0, n, batch_size):
-        idx = list(range(s, min(s + batch_size, n)))
-        # repeat-pad the tail so shapes stay static for jit
-        while len(idx) < batch_size:
-            idx.append(idx[-1])
-        yield dataset.sample_batch(idx)
+    """Repeat-pads the tail batch for static jit shapes; the attached
+    SAMPLE_VALID mask keeps padded rows out of metrics and the dump."""
+    from artiboost_tpu.datasets.hodata import padded_host_loader
+
+    yield from padded_host_loader(dataset, batch_size)
 
 
 def main_worker(arg, cfg, custom):
@@ -63,7 +61,17 @@ def main_worker(arg, cfg, custom):
         state, epoch, _ = recorder.resume_checkpoints(state, reload_path)
         logger.info(f"reloaded checkpoint from {reload_path} (epoch {epoch})")
     else:
-        logger.warning(f"no checkpoint at {reload_path}; evaluating random init")
+        # no orbax checkpoint: honor ARCH.PRETRAINED — the released
+        # ``.pth.tar`` named by every config_eval/*.yaml is converted to
+        # flax variables and loaded (reference train/submit_reload.py:38-48
+        # via init_weights; converters in utils/torch_convert.py)
+        from artiboost_tpu.utils.pretrained import load_arch_pretrained
+        state, loaded = load_arch_pretrained(state, cfg["ARCH"])
+        if loaded:
+            logger.info("evaluating converted ARCH.PRETRAINED weights")
+        else:
+            logger.warning(f"no checkpoint at {reload_path} and no loadable "
+                           f"ARCH.PRETRAINED; evaluating random init")
 
     fitting_unit = None
     if arg.postprocess_fit_mesh:

@@ -193,6 +193,12 @@ def main_worker(arg, cfg, extra):
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"arch has {n_params / 1e6:.1f}M params")
 
+    # pretrained init (ImageNet backbone and/or full released checkpoint,
+    # reference loads these inside the model constructors); a resume
+    # below overrides, matching the reference's ordering
+    from artiboost_tpu.utils.pretrained import load_arch_pretrained
+    state, _ = load_arch_pretrained(state, cfg["ARCH"])
+
     epoch_start = 0
     if arg.resume:
         state, epoch_start, restored_rng = recorder.resume_checkpoints(state)
@@ -253,12 +259,11 @@ def main_worker(arg, cfg, extra):
 
 
 def _host_loader(dataset, batch_size, shuffle=False):
-    n = len(dataset)
-    order = np.arange(n)
-    if shuffle:
-        np.random.shuffle(order)
-    for s in range(0, n - batch_size + 1, batch_size):
-        yield dataset.sample_batch(order[s:s + batch_size].tolist())
+    """Full-coverage eval loader: the tail batch is repeat-padded and
+    masked with SAMPLE_VALID instead of dropped (metrics honor it)."""
+    from artiboost_tpu.datasets.hodata import padded_host_loader
+
+    yield from padded_host_loader(dataset, batch_size, shuffle=shuffle)
 
 
 def main():
