@@ -123,6 +123,21 @@ class HODataset(ABC):
     def get_obj_verts_can(self, idx) -> Optional[np.ndarray]:
         return None
 
+    # MANO hand annotations (optional — real datasets with MANO fits
+    # override these; reference accessors ho3d.py:253-262,559-569 and
+    # dexycb.py:211-218). All in camera space.
+    def get_hand_pose(self, idx) -> Optional[np.ndarray]:
+        """(48,) axis-angle MANO pose wrt camera, or None."""
+        return None
+
+    def get_hand_shape(self, idx) -> Optional[np.ndarray]:
+        """(10,) MANO betas, or None."""
+        return None
+
+    def get_hand_verts_3d(self, idx) -> Optional[np.ndarray]:
+        """(778, 3) MANO vertices in camera space, or None."""
+        return None
+
     def get_sides(self, idx) -> str:
         return self.sides
 
@@ -280,6 +295,36 @@ class HODataset(ABC):
         verts_can = self.get_obj_verts_can(idx)
         if verts_can is not None:
             sample[Queries.OBJ_VERTS_CAN] = verts_can.astype(np.float32)
+            # cam-space verts through the (aug-rotated) obj transform,
+            # root-relative like corners (reference hodata collates
+            # OBJ_VERTS_3D for honetloss/chamfer, hodata.py:21-62)
+            v3d = verts_can @ transf[:3, :3].T + transf[:3, 3]
+            sample[Queries.OBJ_VERTS_3D] = (v3d - root_joint).astype(np.float32)
+
+        # MANO annotations (when the dataset provides them): hand verts
+        # follow the same flip/in-plane-rot/root-relative pipeline as
+        # joints so ManoLoss / ChamferLoss / verts-MSSD run on real
+        # batches; the aug rotation folds into the pose's global segment
+        hand_verts = self.get_hand_verts_3d(idx)
+        if hand_verts is not None:
+            hv = hand_verts.astype(np.float32)
+            if flip:
+                hv = self._flip_3d(hv)
+            hv = (rot_mat @ hv.T).T
+            sample[Queries.HAND_VERTS_3D] = (hv - root_joint).astype(np.float32)
+        hand_pose = self.get_hand_pose(idx)
+        if hand_pose is not None:
+            from artiboost_tpu.mano.numpy_fk import (aa_to_rotmat_np,
+                                                     mirror_mano_pose,
+                                                     rotmat_to_aa_np)
+            hp = np.asarray(hand_pose, np.float32).copy()
+            if flip:
+                hp = mirror_mano_pose(hp)
+            hp[:3] = rotmat_to_aa_np(rot_mat[:3, :3] @ aa_to_rotmat_np(hp[:3]))
+            sample[Queries.HAND_POSE] = hp
+        hand_shape = self.get_hand_shape(idx)
+        if hand_shape is not None:
+            sample[Queries.HAND_SHAPE] = np.asarray(hand_shape, np.float32)
         sample[Queries.SAMPLE_IDX] = idx
         sample["_affine"] = affine_transf
         sample["_jitter"] = jitter

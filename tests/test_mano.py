@@ -115,3 +115,47 @@ class TestAxisLayer:
         np.testing.assert_allclose(np.sum(np.asarray(b) * np.asarray(l), -1), 0.0, atol=1e-4)
         np.testing.assert_allclose(np.sum(np.asarray(b) * np.asarray(u), -1), 0.0, atol=1e-4)
         np.testing.assert_allclose(np.sum(np.asarray(u) * np.asarray(l), -1), 0.0, atol=1e-4)
+
+
+class TestNumpyFK:
+    """Host numpy FK (datasets' per-sample path) must match the JAX layer."""
+
+    def test_axisang_parity(self, model, rng):
+        from artiboost_tpu.mano.numpy_fk import NumpyMano
+
+        pose = rng.randn(3, 48).astype(np.float32) * 0.2
+        shape = rng.randn(3, 10).astype(np.float32) * 0.5
+        ref = _fwd(model, pose, shape)
+        nm = NumpyMano(model)
+        for i in range(3):
+            verts, joints = nm(pose[i], shape[i])
+            np.testing.assert_allclose(verts, np.asarray(ref.verts)[i], atol=2e-5)
+            np.testing.assert_allclose(joints, np.asarray(ref.joints)[i], atol=2e-5)
+
+    def test_pca_parity(self, model, rng):
+        from artiboost_tpu.mano.numpy_fk import NumpyMano
+
+        ncomps = 45
+        coeffs = rng.randn(2, 3 + ncomps).astype(np.float32) * 0.2
+        shape = rng.randn(2, 10).astype(np.float32) * 0.5
+        layer = ManoLayer(model, use_pca=True, ncomps=ncomps,
+                          flat_hand_mean=False)
+        ref = layer(jnp.asarray(coeffs), jnp.asarray(shape))
+        nm = NumpyMano(model, use_pca=True, ncomps=ncomps,
+                       flat_hand_mean=False)
+        for i in range(2):
+            verts, joints = nm(coeffs[i], shape[i])
+            np.testing.assert_allclose(verts, np.asarray(ref.verts)[i], atol=2e-5)
+            np.testing.assert_allclose(joints, np.asarray(ref.joints)[i], atol=2e-5)
+
+    def test_mirror_pose_flips_x(self, model, rng):
+        """Mirrored pose under mirrored template == x-flipped hand: FK of
+        the mirrored pose matches x-negated verts of the original up to
+        the template's own symmetry (exact for rotations about the
+        origin: here check the wrist joint stays put and the transform is
+        an involution)."""
+        from artiboost_tpu.mano.numpy_fk import mirror_mano_pose
+
+        pose = rng.randn(48).astype(np.float32) * 0.3
+        twice = mirror_mano_pose(mirror_mano_pose(pose))
+        np.testing.assert_allclose(twice, pose, atol=1e-6)
