@@ -89,12 +89,14 @@ def build_blacklist_map(
 
     A triplet is blacklisted when the camera would look at the back of
     the hand: back_arrow = persp^T . R_wrist . back_dir with back_dir =
-    -y (out of the back of a right hand in MANO canonical frame);
+    the reference's normalized [1.0, 0.2, 0.0] (artiboost_loader.py:482
+    — mostly +x with a slight +y tilt in the MANO canonical frame);
     blacklist if dot(back_arrow, z) < threshold.
     Parity: artiboost_loader.py:466-495.
     """
     wrist_rot = aa_to_rotmat(grasp_poses[..., :3])            # (O, G, 3, 3)
-    back_dir = jnp.asarray([0.0, -1.0, 0.0])
+    back_dir = jnp.asarray([1.0, 0.2, 0.0])
+    back_dir = back_dir / jnp.linalg.norm(back_dir)
     back_world = jnp.einsum("ogij,j->ogi", wrist_rot, back_dir)  # (O, G, 3)
     arrow = jnp.einsum("vji,ogj->ovgi", persp_rotmats, back_world)  # persp^T .
     dot_z = arrow[..., 2]  # (O, V, G)

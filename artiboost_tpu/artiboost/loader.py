@@ -193,6 +193,18 @@ class ArtiBoostLoader:
             self.config_len_train = -(-self.config_len_train // n_data) * n_data
         self.generated: Optional[GeneratedPoses] = None
 
+        # val-mode sweep config (parity: ovg_set.py:104-132 + the VAL_LEN /
+        # VAL_START_EPOCH / VAL_FREQ knobs in the released configs). The
+        # dedicated val pass only runs when VAL_LEN is configured —
+        # otherwise mining feeds from the training-epoch evaluator, which
+        # is the reference's shipped behavior (its val gate is commented
+        # out, artiboost_loader.py:293-295).
+        self.has_val_sweep = "VAL_LEN" in cfg
+        self.config_len_val = int(cfg.get("VAL_LEN", self.config_len_train))
+        self.val_start_epoch = int(cfg.get("VAL_START_EPOCH", 0))
+        self.val_freq = int(cfg.get("VAL_FREQ", 1))
+        self.generated_val: Optional[GeneratedPoses] = None
+
     # ------------------------------------------------------------------
     # epoch lifecycle
     # ------------------------------------------------------------------
@@ -214,7 +226,10 @@ class ArtiBoostLoader:
         oid, vid, gid, occ = sample_triplets(
             self.ccv, k_sample, self.config_len_train, replace=True)
         self.ccv = self.ccv._replace(occurrence_map=occ)
+        self.generated = self._generate_poses(oid, vid, gid, k_gen)
 
+    def _generate_poses(self, oid, vid, gid, k_gen) -> GeneratedPoses:
+        """Chunked jitted pose sweep over sampled triplet ids."""
         n = int(oid.shape[0])
         chunk = min(self.opg_batch_size, n)
         if self.mesh is not None:  # chunk must tile the data axis
@@ -245,11 +260,65 @@ class ArtiBoostLoader:
         else:
             gen = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *pieces)
-        self.generated = jax.tree_util.tree_map(lambda x: x[:n], gen)
+        return jax.tree_util.tree_map(lambda x: x[:n], gen)
+
+    def prepare_val(self):
+        """Val-mode CCV sweep (parity: ovg_set.py:104-132): a separate
+        triplet draw with UNIFORM weights masked only by the blacklist,
+        WITHOUT replacement (Gumbel top-k ~ torch.multinomial
+        replacement=False), sized VAL_LEN — per-triplet val error is then
+        measured on an unbiased sweep rather than the training draw."""
+        if not self.use_synth:
+            return
+        O, V, G = self.ccv.shape
+        n_valid = O * V * G - int(np.asarray(jnp.sum(self.ccv.blacklist_map)))
+        n = max(min(self.config_len_val, n_valid), 1)
+        if n >= self.batch_size:  # static-shape val batches
+            n = (n // self.batch_size) * self.batch_size
+        if self.mesh is not None:  # and tile the data axis
+            n_data = int(self.mesh.shape["data"])
+            n = max((n // n_data) * n_data, n_data)
+        k_sample, k_gen = jax.random.split(self._next_key())
+        uniform = self.ccv._replace(
+            sample_weight_map=jnp.ones_like(self.ccv.sample_weight_map))
+        oid, vid, gid, occ = sample_triplets(uniform, k_sample, n, replace=False)
+        self.ccv = self.ccv._replace(occurrence_map=occ)
+        self.generated_val = self._generate_poses(oid, vid, gid, k_gen)
+        logger.info(f"val sweep: {n} triplets drawn w/o replacement "
+                    f"({n_valid} non-blacklisted of {O * V * G})")
+
+    def should_val(self, epoch_idx: int) -> bool:
+        """Whether the dedicated val pass runs after this epoch
+        (VAL_LEN configured + VAL_START_EPOCH/VAL_FREQ gates)."""
+        return (self.use_synth and self.has_val_sweep
+                and epoch_idx + 1 >= self.val_start_epoch
+                and epoch_idx % self.val_freq == self.val_freq - 1)
+
+    def len_val(self) -> int:
+        if self.generated_val is None:
+            return 0
+        return max(int(self.generated_val.obj_id.shape[0]) // self.batch_size, 1)
+
+    def iter_val(self) -> Iterator[Dict]:
+        """Pure-synth val batches rendered from the val pose cache, in
+        draw order (each triplet exactly once)."""
+        if self.generated_val is None:
+            raise RuntimeError("prepare_val() must run before iter_val()")
+        n = int(self.generated_val.obj_id.shape[0])
+        bs = min(self.batch_size, n)
+        for s in range(0, n - bs + 1, bs):
+            sidx = jnp.arange(s, s + bs, dtype=jnp.int32)
+            if self.mesh is not None:
+                from artiboost_tpu.parallel.mesh import batch_sharding
+
+                sidx = jax.device_put(sidx, batch_sharding(self.mesh))
+            yield self._synth_batch_jit(self._next_key(), self.generated_val, sidx)
 
     def generate_render_cache(self, is_train: bool = True):
         if is_train:
             self.prepare()
+        else:
+            self.prepare_val()
 
     # ------------------------------------------------------------------
     # iteration: mixed real/synth batches
@@ -398,6 +467,7 @@ class ArtiBoostLoader:
     def synth_shutdown(self):
         self.use_synth = False
         self.generated = None
+        self.generated_val = None
         logger.warning("shut down synth dataset engine")
 
     # ------------------------------------------------------------------

@@ -281,8 +281,10 @@ def build_refiner(cfg: Dict, mano_model: ManoModel, key: Optional[jax.Array] = N
     PRETRAINED: a ``.npz`` saved by ``save_refiner_params``. The
     reference's GrabNet ``refinenet.pt`` cannot be imported directly —
     this RefineNet is a re-design (LayerNorm ResBlocks, zero-init delta
-    heads) — so absent a native checkpoint the net starts as the
-    identity refiner (zero deltas) and trains jointly."""
+    heads) — so when the configured checkpoint is absent (or none is
+    configured) the natively-trained ``assets/refinenet_tpu.npz`` is
+    loaded; with neither, the net starts as the identity refiner (zero
+    deltas) and trains jointly."""
     if cfg.get("TYPE", "null") == "null":
         return make_null_refiner(mano_model)
     net = RefineNet()
@@ -292,7 +294,12 @@ def build_refiner(cfg: Dict, mano_model: ManoModel, key: Optional[jax.Array] = N
     pretrained = cfg.get("PRETRAINED")
     # natively-trained fallback (script/train_refiner.py) when the
     # configured checkpoint (e.g. the reference's GrabNet .pt) is absent
-    fallback = "assets/refinenet_tpu.npz"
+    from artiboost_tpu.utils.misc import asset_path
+
+    fallback = asset_path("assets/refinenet_tpu.npz")
+    if not pretrained and os.path.isfile(fallback):
+        logger.info(f"refiner: no PRETRAINED configured; using native {fallback}")
+        pretrained = fallback
     if pretrained and not os.path.isfile(str(pretrained)) and os.path.isfile(fallback):
         logger.info(f"refiner: {pretrained} absent; using native {fallback}")
         pretrained = fallback

@@ -48,10 +48,17 @@ class FittingUnit:
         self.iknet = IKNet()
         if iknet_params is None:
             import os
-            native = "assets/iknet_tpu.npz"  # script/train_iknet.py output
+
+            from artiboost_tpu.utils.logger import logger
+            from artiboost_tpu.utils.misc import asset_path
+
+            native = asset_path("assets/iknet_tpu.npz")  # script/train_iknet.py output
             if os.path.isfile(native):
                 iknet_params = load_iknet_params(native)
             else:
+                logger.warning(
+                    "fitting: assets/iknet_tpu.npz not found; IKNet init is "
+                    "RANDOM (fit quality degrades; run script/train_iknet.py)")
                 iknet_params = self.iknet.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, 21, 3)), train=False)
         self.iknet_params = iknet_params

@@ -99,6 +99,22 @@ def singleton(cls):
     return inner
 
 
+def asset_path(rel: str) -> str:
+    """Resolve a repo-relative asset path (e.g. ``assets/iknet_tpu.npz``).
+
+    Tries CWD first (the documented invocation is from the repo root),
+    then falls back to the package's parent directory so scripts run
+    from elsewhere still find shipped assets.
+    """
+    import os
+
+    if os.path.exists(rel):
+        return rel
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(pkg_root, rel)
+    return cand if os.path.exists(cand) else rel
+
+
 def camel_to_snake(name: str) -> str:
     out = []
     for i, ch in enumerate(name):

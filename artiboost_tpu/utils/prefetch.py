@@ -64,6 +64,13 @@ class Prefetcher:
             except queue.Empty:
                 break
         self._thread.join(timeout=5.0)
+        if self._thread.is_alive():
+            # a transform blocked >5s keeps the daemon thread alive past
+            # close(); surface it instead of silently re-exposing the
+            # interpreter-finalization abort this close() exists to fix
+            from artiboost_tpu.utils.logger import logger
+            logger.warning("prefetch: producer thread still alive 5s after "
+                           "close(); a transform is blocked")
 
     def __iter__(self) -> Iterator:
         try:

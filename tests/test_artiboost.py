@@ -274,6 +274,63 @@ class TestArtiBoostLoader:
         assert loader.generated is None
 
 
+class TestValSweep:
+    """Dedicated val-mode CCV sweep (ovg_set.py:104-132 parity): uniform
+    non-blacklisted draw WITHOUT replacement, sized VAL_LEN, rendered as
+    pure synth batches for the mining evaluator."""
+
+    def _loader(self, **over):
+        cfg = dict(MANAGER_CFG)
+        cfg.update({"VAL_LEN": 32, "VAL_START_EPOCH": 2, "VAL_FREQ": 2})
+        cfg.update(over)
+        return ArtiBoostLoader(real_dataset=None, cfg=cfg, batch_size=8,
+                               n_epochs=10)
+
+    def test_prepare_val_unique_and_unblacklisted(self):
+        loader = self._loader()
+        loader.prepare_val()
+        gen = loader.generated_val
+        assert gen.obj_id.shape[0] == 32  # multiple of batch_size
+        O, V, G = loader.ccv.shape
+        flat = (np.asarray(gen.obj_id) * V + np.asarray(gen.persp_id)) * G \
+            + np.asarray(gen.grasp_id)
+        assert len(set(flat.tolist())) == 32  # without replacement
+        bl = np.asarray(loader.ccv.blacklist_map)
+        assert not bl[np.asarray(gen.obj_id), np.asarray(gen.persp_id),
+                      np.asarray(gen.grasp_id)].any()
+
+    def test_val_len_clamped_to_space(self):
+        loader = self._loader(VAL_LEN=10_000)  # space is 4*24*10=960 minus blacklist
+        loader.prepare_val()
+        O, V, G = loader.ccv.shape
+        n_valid = O * V * G - int(np.asarray(loader.ccv.blacklist_map).sum())
+        assert loader.generated_val.obj_id.shape[0] <= n_valid
+
+    def test_iter_val_batches(self):
+        loader = self._loader()
+        loader.prepare_val()
+        batches = list(loader.iter_val())
+        assert len(batches) == loader.len_val() == 4
+        b = batches[0]
+        assert np.asarray(b[SynthQueries.IS_SYNTH]).all()
+        assert b[Queries.IMAGE].shape[0] == 8
+
+    def test_should_val_gates(self):
+        loader = self._loader()
+        # VAL_START_EPOCH=2, VAL_FREQ=2: epochs 1,3,5,... AND epoch+1>=2
+        assert not loader.should_val(0)
+        assert loader.should_val(1)
+        assert not loader.should_val(2)
+        assert loader.should_val(3)
+        loader.synth_shutdown()
+        assert not loader.should_val(3)
+
+    def test_no_val_len_no_sweep(self):
+        loader = ArtiBoostLoader(real_dataset=None, cfg=MANAGER_CFG,
+                                 batch_size=8, n_epochs=10)
+        assert not loader.should_val(1)
+
+
 class TestChunkedPrepare:
     """The epoch pose sweep streams in OPG_BATCH_SIZE chunks (reference
     --opg_batch_size parity) so real-scale epochs (40k-100k triplets)

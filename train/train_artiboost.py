@@ -171,6 +171,12 @@ def main_worker(arg, cfg, extra):
     criterion = build_criterion(cfg)
     manager_cfg = dict(cfg.get("MANAGER", {}))
     manager_cfg.setdefault("DATA_PRESET", data_preset)
+    # val-sweep gates live under TRAIN in the released configs (parity:
+    # reference train_artiboost.py:166-167 injects them the same way)
+    if "EVAL_FREQ" in cfg["TRAIN"]:
+        manager_cfg.setdefault("VAL_FREQ", cfg["TRAIN"]["EVAL_FREQ"])
+    if "VAL_START_EPOCH" in cfg["TRAIN"]:
+        manager_cfg.setdefault("VAL_START_EPOCH", cfg["TRAIN"]["VAL_START_EPOCH"])
     ccv_shape_defaults = {}
     evaluator = build_evaluator(cfg.get("EVALUATOR", []), data_preset,
                                 **ccv_shape_defaults)
@@ -237,9 +243,21 @@ def main_worker(arg, cfg, extra):
                                 fused_step=fused_step,
                                 artiboost_loader=artiboost_loader)
         profiling.stop_trace()  # no-op unless a short epoch left it running
-        artiboost_loader.step_eval(epoch, evaluator)
         summarizer.summarize_evaluator(evaluator, epoch, "train")
         recorder.record_evaluator(evaluator, epoch, "train")
+        if artiboost_loader.should_val(epoch):
+            # dedicated val sweep: uniform triplet draw w/o replacement,
+            # rendered + evaluated fresh, feeds mining instead of the
+            # (weight-biased) training-epoch measurements
+            with profiling.trace("artiboost/prepare_val"):
+                artiboost_loader.prepare_val()
+            val_loader = _WithLen(artiboost_loader.iter_val(),
+                                  artiboost_loader.len_val())
+            _, rng = epoch_pass(TrainMode.VAL, val_loader, state, eval_step,
+                                evaluator, rng, None, epoch, mesh)
+            summarizer.summarize_evaluator(evaluator, epoch, "val")
+            recorder.record_evaluator(evaluator, epoch, "val")
+        artiboost_loader.step_eval(epoch, evaluator)
         recorder.record_checkpoints(state, epoch,
                                     artiboost_state=artiboost_loader.state_dict(),
                                     rng_key=rng, snapshot=arg.snapshot)
@@ -256,6 +274,19 @@ def main_worker(arg, cfg, extra):
     summarizer.close()
     logger.info("training complete")
     return state
+
+
+class _WithLen:
+    """Wrap a generator with a known length (for epoch_pass progress)."""
+
+    def __init__(self, it, n):
+        self._it, self._n = it, n
+
+    def __iter__(self):
+        return iter(self._it)
+
+    def __len__(self):
+        return self._n
 
 
 def _host_loader(dataset, batch_size, shuffle=False):
