@@ -27,7 +27,13 @@ import numpy as np
 
 from artiboost_tpu.artiboost.object_library import ObjectLibrary
 from artiboost_tpu.mano.model import ManoModel
-from artiboost_tpu.ops.rasterizer import project_verts, shade_vertices, vertex_normals
+from artiboost_tpu.ops.rasterizer import (
+    build_face_incidence,
+    project_verts,
+    shade_vertices,
+    vertex_normals,
+    vertex_normals_indexed,
+)
 from artiboost_tpu.ops.rasterizer_pallas import rasterize_batch_pallas
 
 
@@ -175,6 +181,28 @@ def compose_scene(
     return verts, colors, faces, fvalid
 
 
+def build_scene_incidence(hand_faces, obj_lib: ObjectLibrary,
+                          n_hand: int = 778) -> jnp.ndarray:
+    """(n_obj, V_total, D) per-object face-incidence tables for the
+    composed hand+object scene (host precompute, once per object set) —
+    feeds ``vertex_normals_indexed`` so the per-frame normal pass is
+    gather-only (the scatter-add costs ~17% of the synth pipeline)."""
+    import numpy as np
+
+    hf = np.asarray(hand_faces)
+    v_total = n_hand + obj_lib.verts.shape[1]
+    tables = []
+    for o in range(obj_lib.faces.shape[0]):
+        of = np.asarray(obj_lib.faces[o]) + n_hand
+        faces = np.concatenate([hf, of], axis=0)
+        tables.append(build_face_incidence(faces, v_total))
+    D = max(t.shape[1] for t in tables)
+    F = hf.shape[0] + obj_lib.faces.shape[1]
+    padded = [np.pad(t, ((0, 0), (0, D - t.shape[1])), constant_values=F)
+              for t in tables]
+    return jnp.asarray(np.stack(padded))
+
+
 def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     """Separable gaussian blur with per-sample sigma (B, H, W, 3)."""
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
@@ -218,6 +246,7 @@ def render_scene(
     ambient: float = 0.8,
     cull_backfaces: bool = False,  # enable for closed, consistently-wound
                                    # meshes (real MANO/YCB): ~1.4x raster
+    incidence: Optional[jnp.ndarray] = None,  # (B, V, D) gather-only normals
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -225,7 +254,10 @@ def render_scene(
 
     # random point light, intensity U(1, 5) (renderer.py:104)
     light_int = jax.random.uniform(k_light, (B, 1), minval=1.0, maxval=5.0) * 0.05
-    normals = jax.vmap(vertex_normals)(verts, faces)
+    if incidence is not None:
+        normals = vertex_normals_indexed(verts, faces, incidence)
+    else:
+        normals = jax.vmap(vertex_normals)(verts, faces)
     light_pos = jnp.asarray([[0.3, -0.3, -0.3]])
     shaded = jax.vmap(
         lambda v, n, c, li: shade_vertices(

@@ -20,6 +20,7 @@ from artiboost_tpu.artiboost.renderer import (
     RenderAssets,
     _color_jitter,
     _gaussian_blur,
+    build_scene_incidence,
     compose_scene,
     render_scene,
 )
@@ -72,6 +73,19 @@ def make_synth_batch_fn(
         [0.0, cfg.fy, cfg.cy],
         [0.0, 0.0, 1.0],
     ])
+    # per-object incidence tables (host precompute): gather-only vertex
+    # normals inside the render. A pathological mesh (high-valence hub
+    # vertex) would blow the fixed degree up and make the gather slower
+    # than the scatter it replaces — fall back in that case.
+    scene_inc = build_scene_incidence(assets.hand_faces, obj_lib,
+                                      n_hand=778)
+    if scene_inc.shape[2] > 64:
+        from artiboost_tpu.utils.logger import logger
+
+        logger.warning(
+            f"scene max vertex degree {scene_inc.shape[2]} > 64: using "
+            "scatter-add vertex normals (gather table would be oversized)")
+        scene_inc = None
 
     def synth_batch(key: jax.Array, gen: GeneratedPoses, idx: jnp.ndarray) -> Dict:
         B = idx.shape[0]
@@ -148,7 +162,8 @@ def make_synth_batch_fn(
             hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid, obj_pose_r)
         img, depth = render_scene(
             verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
-            cull_backfaces=cfg.cull_backfaces)
+            cull_backfaces=cfg.cull_backfaces,
+            incidence=None if scene_inc is None else scene_inc[oid])
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma

@@ -165,17 +165,26 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     comps = rng.randn(NUM_POSE_COMPS, NUM_POSE_COMPS).astype(np.float32)
     comps, _ = np.linalg.qr(comps)
 
-    # faces: triangulate consecutive vertices within each bone ring (valid
-    # topology for rasterizer testing; 1538 faces like the real model)
+    # faces: two triangle strips over consecutive vertices within each
+    # bone ring (valid bounded-degree topology — real MANO's max vertex
+    # valence is ~9, and downstream fast paths like the gather-only
+    # vertex normals assume a small max degree); padded to 1538 with
+    # DEGENERATE faces (zero area -> never rasterized, skipped by
+    # incidence builders) rather than duplicates of a real face, which
+    # previously created degree-795 hub vertices and 800 copies of one
+    # triangle for the rasterizer to draw
     faces = []
     for jid in range(NUM_JOINTS):
         base = jid * per_joint
         n = per_joint if jid < NUM_JOINTS - 1 else NUM_VERTS - base
         for k in range(n - 2):
             faces.append([base + k, base + k + 1, base + k + 2])
+        for k in range(n - 3):
+            faces.append([base + k, base + k + 2, base + k + 3])
     faces = np.asarray(faces[:1538], dtype=np.int32)
     if faces.shape[0] < 1538:
-        faces = np.concatenate([faces, np.tile(faces[-1:], (1538 - faces.shape[0], 1))])
+        pad = np.zeros((1538 - faces.shape[0], 3), np.int32)  # degenerate
+        faces = np.concatenate([faces, pad])
 
     # orient faces consistently outward (like the real MANO mesh) so that
     # backface culling in the rasterizer is exercisable with this stand-in:

@@ -12,11 +12,11 @@ import jax
 import jax.numpy as jnp
 
 from artiboost_tpu.datasets.hoquery import Queries
-from artiboost_tpu.mano.layer import mano_forward, pca_to_axisang
+from artiboost_tpu.mano.layer import mano_forward, mano_forward_rotmat, pca_to_axisang
 from artiboost_tpu.mano.model import ManoModel
 from artiboost_tpu.models.resnet import ResNet
 from artiboost_tpu.utils.registry import HEAD, MODEL, build_backbone, build_head
-from artiboost_tpu.utils.transform import batch_persp_proj2d, rot6d_to_rotmat
+from artiboost_tpu.utils.transform import batch_persp_proj2d, rot6d_to_rotmat, rotmat_proj
 
 
 class TransHead(nn.Module):
@@ -56,9 +56,15 @@ class ManoBranch(nn.Module):
         )
         if self.use_pca:
             full_pose = pca_to_axisang(self.mano_model, pose, self.ncomps, self.flat_hand_mean)
+            mano_out = mano_forward(self.mano_model, full_pose, shape,
+                                    center_idx=self.center_idx)
         else:
-            raise NotImplementedError("rotmat-mode ManoBranch not supported; use PCA")
-        mano_out = mano_forward(self.mano_model, full_pose, shape, center_idx=self.center_idx)
+            # rotmat mode (reference mano.py:75, manotorch use_pca=False):
+            # 16x9 raw outputs, SVD-projected onto SO(3), FK from rotmats
+            # (grad-safe: no axis-angle round-trip in the training path)
+            rots = rotmat_proj(pose.reshape(-1, 16, 3, 3))
+            mano_out = mano_forward_rotmat(self.mano_model, rots, shape,
+                                           center_idx=self.center_idx)
         return {
             "hand_verts_3d": mano_out.verts,
             "joints_3d": mano_out.joints,

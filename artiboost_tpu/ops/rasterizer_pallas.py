@@ -98,21 +98,16 @@ def _pack_faces(sf, n_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
             col.reshape(shape).transpose(0, 2, 1))
 
 
-def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
-                   tile_px: int, n_tiles: int):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    base = t * tile_px
-    pix = base + jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0)
-    x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
-    y = (pix // width).astype(jnp.float32) + 0.5
-
+def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int):
+    """Shared two-pass tile body: depth + winner id, then deferred shading.
+    ``geom_at(c)``/``col_at(c)`` load chunk c's (16, LANE) plane rows.
+    Returns (r8, g8, b8, depth), each (TP, 1)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
     # ---- pass 1: depth + winner id ----
     def chunk_body(c, carry):
         best_pf, best_chunk = carry  # (TP, 1): f32 packed, int32 chunk
-        fd = packed_ref[0, c]  # (16, LANE)
+        fd = geom_at(c)  # (16, LANE)
         lam0 = x * fd[0:1, :] + y * fd[2:3, :] + fd[4:5, :]
         lam1 = x * fd[1:2, :] + y * fd[3:4, :] + fd[5:6, :]
         lam2 = 1.0 - lam0 - lam1
@@ -133,11 +128,6 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
         jnp.zeros((tile_px, 1), jnp.float32),
         jnp.zeros((tile_px, 1), jnp.int32),
     )
-    # ranges is flat (B * n_tiles * 2,): SMEM pads trailing dims to the
-    # lane width, so a (B, T, 2) layout would blow the 1MB SMEM budget
-    rbase = (b * n_tiles + t) * 2
-    c_start = ranges_ref[rbase]
-    c_end = ranges_ref[rbase + 1]
     best_pf, best_chunk = jax.lax.fori_loop(c_start, c_end, chunk_body, init)
 
     best_pack = jax.lax.bitcast_convert_type(best_pf, jnp.int32)
@@ -153,7 +143,7 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
     hi = jnp.minimum(c_end, maxc + 1)
 
     def color_body(c, acc):
-        fc = colors_ref[0, c]  # (16, LANE)
+        fc = col_at(c)  # (16, LANE)
         sel = ((gidx - c * LANE) == lane).astype(jnp.float32)  # (TP, LANE)
         r = x * fc[0:1, :] + y * fc[3:4, :] + fc[6:7, :]
         g = x * fc[1:2, :] + y * fc[4:5, :] + fc[7:8, :]
@@ -170,6 +160,24 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
     r8 = jnp.floor(qsum / 65536.0)
     g8 = jnp.floor((qsum - r8 * 65536.0) / 256.0)
     b8 = qsum - r8 * 65536.0 - g8 * 256.0
+    return r8, g8, b8, depth
+
+
+def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
+                   tile_px: int, n_tiles: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = t * tile_px
+    pix = base + jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0)
+    x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
+    y = (pix // width).astype(jnp.float32) + 0.5
+
+    # ranges is flat (B * n_tiles * 2,): SMEM pads trailing dims to the
+    # lane width, so a (B, T, 2) layout would blow the 1MB SMEM budget
+    rbase = (b * n_tiles + t) * 2
+    r8, g8, b8, depth = _tile_core(
+        x, y, lambda c: packed_ref[0, c], lambda c: colors_ref[0, c],
+        ranges_ref[rbase], ranges_ref[rbase + 1], tile_px)
 
     out_ref[0, 0, :, 0:1] = r8 * (1.0 / 255.0)
     out_ref[0, 0, :, 1:2] = g8 * (1.0 / 255.0)
@@ -177,7 +185,31 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
     out_ref[0, 0, :, 3:4] = depth
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_px", "cull_backfaces"))
+def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
+                          tw: int, th: int, n_xbins: int, n_ytiles: int):
+    """2D-binned variant: tiles are (th x tw) pixel blocks; grid axis 1 is
+    the x-bin so each tile only loops over ITS column's face chunks."""
+    b = pl.program_id(0)
+    tx = pl.program_id(1)
+    ty = pl.program_id(2)
+    tp = th * tw
+    pix = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    x = (tx * tw + pix % tw).astype(jnp.float32) + 0.5  # (TP, 1)
+    y = (ty * th + pix // tw).astype(jnp.float32) + 0.5
+
+    rbase = ((b * n_xbins + tx) * n_ytiles + ty) * 2
+    r8, g8, b8, depth = _tile_core(
+        x, y, lambda c: packed_ref[0, 0, c], lambda c: colors_ref[0, 0, c],
+        ranges_ref[rbase], ranges_ref[rbase + 1], tp)
+
+    out_ref[0, 0, 0, :, 0:1] = r8 * (1.0 / 255.0)
+    out_ref[0, 0, 0, :, 1:2] = g8 * (1.0 / 255.0)
+    out_ref[0, 0, 0, :, 2:3] = b8 * (1.0 / 255.0)
+    out_ref[0, 0, 0, :, 3:4] = depth
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_px",
+                                   "cull_backfaces", "xbin_w", "tile_rows"))
 def rasterize_batch_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3)
     vert_attrs: jnp.ndarray,    # (B, V, 3) rgb
@@ -187,19 +219,21 @@ def rasterize_batch_pallas(
     width: int,
     tile_px: Optional[int] = None,
     cull_backfaces: bool = False,
+    xbin_w: Optional[int] = None,
+    tile_rows: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background."""
-    if tile_px is None:
-        # measured sweet spots: at 224px a tile of ~4.5 rows amortizes
-        # per-tile overhead (100.1 ms vs 101.7 @512); at >=512px a
-        # single-row tile's tighter y-culling wins (116 ms vs 121 @1024)
-        tile_px = 512 if width >= 512 else 1024
+    """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background.
+
+    ``xbin_w``: enable 2D x-binning — faces are duplicated into
+    ``ceil(width / xbin_w)`` x-bands (per-band validity + per-band y-sort)
+    and tiles become (tile_rows x xbin_w) pixel blocks, so a tile only
+    evaluates the face chunks of its own column. Pays when faces are
+    small relative to the frame (real mesh renders); the default 1D
+    y-culled path is kept for xbin_w=None (or when only one bin fits)."""
     B, V, _ = verts_screen.shape
     F = faces.shape[-2]
     assert vert_attrs.shape[-1] == 3, "pallas path is specialized to rgb"
     n_chunks = (F + LANE - 1) // LANE
-    n_pix = height * width
-    n_tiles = (n_pix + tile_px - 1) // tile_px
 
     if face_valid is None:
         face_valid = jnp.ones((B, F), jnp.float32)
@@ -209,6 +243,18 @@ def rasterize_batch_pallas(
         partial(build_screen_faces, cull_backfaces=cull_backfaces),
         in_axes=(0, 0, faces_axis, 0),
     )(verts_screen, vert_attrs, faces, face_valid)
+
+    if xbin_w is not None and width > xbin_w:
+        return _rasterize_binned(sf, B, F, n_chunks, height, width,
+                                 xbin_w, tile_rows)
+
+    if tile_px is None:
+        # measured sweet spots: at 224px a tile of ~4.5 rows amortizes
+        # per-tile overhead (100.1 ms vs 101.7 @512); at >=512px a
+        # single-row tile's tighter y-culling wins (116 ms vs 121 @1024)
+        tile_px = 512 if width >= 512 else 1024
+    n_pix = height * width
+    n_tiles = (n_pix + tile_px - 1) // tile_px
 
     # sort faces by screen-y so each 128-face chunk is y-coherent
     ymin_key = jnp.where(sf.valid > 0, sf.bbox[..., 1], _BIG)  # (B, F)
@@ -263,4 +309,82 @@ def rasterize_batch_pallas(
 
     flat = out.reshape(B, n_tiles * tile_px, 4)[:, :n_pix]
     img = flat.reshape(B, height, width, 4)
+    return img[..., :3], img[..., 3]
+
+
+def _rasterize_binned(sf, B: int, F: int, n_chunks: int, height: int,
+                      width: int, xbin_w: int, tile_rows: int):
+    """2D-binned rasterization: per-x-band face lists (duplication is
+    implicit — every face exists in every band, invalid copies y-sort to
+    the end and never enter the chunk ranges)."""
+    NB = (width + xbin_w - 1) // xbin_w
+    TH, TW = tile_rows, xbin_w
+    YT = (height + TH - 1) // TH
+    TP = TH * TW
+
+    # per-band validity: face bbox overlaps [b*TW, (b+1)*TW)
+    xlo = jnp.arange(NB, dtype=jnp.float32)[None, :, None] * TW  # (1, NB, 1)
+    vb = ((sf.valid[:, None, :] > 0)
+          & (sf.bbox[:, None, :, 2] >= xlo)
+          & (sf.bbox[:, None, :, 0] < xlo + TW)).astype(jnp.float32)
+
+    # per-band y-sort (invalid copies sink to the end)
+    ymin_key = jnp.where(vb > 0, sf.bbox[:, None, :, 1], _BIG)  # (B, NB, F)
+    order = jnp.argsort(ymin_key, axis=-1)
+
+    def _gather(a):  # (B, F, ...) -> (B, NB, F, ...) banded + sorted
+        ab = jnp.broadcast_to(a[:, None], (B, NB) + a.shape[1:])
+        idx = order.reshape(order.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(ab, idx, axis=2)
+
+    sfb = jax.tree_util.tree_map(_gather, sf)
+    vb_sorted = jnp.take_along_axis(vb, order, axis=-1)
+    sfb = sfb._replace(valid=vb_sorted)
+    packed, colors = jax.vmap(jax.vmap(lambda s: _pack_faces(s, n_chunks)))(sfb)
+    # (B, NB, NC, 16, LANE) x2
+
+    # per-(batch, band, y-tile) chunk ranges from sorted chunk y-extents
+    padF = n_chunks * LANE - F
+    fymin = jnp.pad(jnp.where(vb_sorted > 0, sfb.bbox[..., 1], _BIG),
+                    ((0, 0), (0, 0), (0, padF)), constant_values=_BIG)
+    fymax = jnp.pad(jnp.where(vb_sorted > 0, sfb.bbox[..., 3], -_BIG),
+                    ((0, 0), (0, 0), (0, padF)), constant_values=-_BIG)
+    chunk_ymin = jnp.min(fymin.reshape(B, NB, n_chunks, LANE), -1)  # (B,NB,NC)
+    chunk_ymax = jnp.max(fymax.reshape(B, NB, n_chunks, LANE), -1)
+    ty = jnp.arange(YT, dtype=jnp.float32)
+    tile_ymin = ty * TH           # (YT,)
+    tile_ymax = (ty + 1) * TH     # exclusive; pixel centers at +0.5 < this
+    cummax_ymax = jax.lax.cummax(chunk_ymax, axis=2)  # (B, NB, NC)
+    ends = jnp.sum(chunk_ymin[:, :, None, :] <= tile_ymax[None, None, :, None],
+                   axis=-1)
+    starts = jnp.sum(cummax_ymax[:, :, None, :] < tile_ymin[None, None, :, None],
+                     axis=-1)
+    ranges = jnp.stack([jnp.minimum(starts, ends), ends],
+                       axis=-1).astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NB, YT),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_chunks, N_ROWS, LANE),
+                         lambda b, tx, ty, *_: (b, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_chunks, N_ROWS, LANE),
+                         lambda b, tx, ty, *_: (b, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, TP, 4),
+                               lambda b, tx, ty, *_: (b, tx, ty, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_raster_kernel_binned, tw=TW, th=TH, n_xbins=NB, n_ytiles=YT),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NB, YT, TP, 4), jnp.float32),
+        interpret=jax.default_backend() == "cpu",  # tests run on CPU mesh
+    )(ranges, packed, colors)
+
+    # (B, NB, YT, TH, TW, 4) -> (B, YT*TH, NB*TW, 4) -> crop
+    img = out.reshape(B, NB, YT, TH, TW, 4).transpose(0, 2, 3, 1, 4, 5)
+    img = img.reshape(B, YT * TH, NB * TW, 4)[:, :height, :width]
     return img[..., :3], img[..., 3]

@@ -51,6 +51,7 @@ _IMAGENET_GLOBS = {
 _ARCH_CONVERTERS = {
     "HybridBaseline": torch_convert.convert_hybrid_baseline,
     "HOPRegNet": torch_convert.convert_hpregnet,
+    "HoNet": torch_convert.convert_honet,
 }
 
 

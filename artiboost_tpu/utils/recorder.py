@@ -21,12 +21,34 @@ from artiboost_tpu.utils.config import dump_config
 from artiboost_tpu.utils.logger import add_file_handler, logger
 
 
+def _git_commit() -> Optional[str]:
+    """Current git HEAD, or None outside a repo / without git."""
+    import subprocess
+
+    try:
+        out = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                             text=True, timeout=5)
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+
+
 class Recorder:
     def __init__(self, exp_id: str, cfg: Dict, root: str = "exp",
                  eval_only: bool = False, resume_path: Optional[str] = None,
                  timestamp: Optional[str] = None):
         self.exp_id = exp_id
         self.cfg = cfg
+        if not eval_only and exp_id not in ("default", "smoke"):
+            # named experiments must be reproducible from a commit
+            # (parity: reference recorder.py:42 asserts a clean commit)
+            commit = _git_commit()
+            if commit is None:
+                logger.warning(
+                    f"exp '{exp_id}' started without a git commit — the run "
+                    "will not be reproducible from version control")
+            else:
+                logger.info(f"exp '{exp_id}' @ git {commit[:12]}")
         ts = timestamp or time.strftime("%Y_%m%d_%H%M_%S")
         if resume_path:
             self.dump_path = resume_path

@@ -73,8 +73,9 @@ HEAD = Registry("head")
 LOSS = Registry("loss")
 DATASET = Registry("dataset")
 METRIC = Registry("metric")
-SCRAMBLER = Registry("scrambler")
-REFINER = Registry("refiner")
+# scramblers/refiners use module-level dispatch tables in
+# artiboost/scrambler.py and artiboost/refiner.py (they are plain
+# functions keyed by cfg TYPE, not class hierarchies worth a Registry)
 
 
 def build_model(cfg, default_args=None):

@@ -187,6 +187,54 @@ def convert_hybrid_baseline(path: str) -> Dict:
     }
 
 
+def _hasson_remap(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HASSON[CVPR2020] released checkpoints -> HoNet key layout (parity:
+    ``anakin/models/honetMANO.py:78-111`` _load_from_state_dict): drop the
+    left-hand MANO buffers, keep the right hand as ``mano_layer``, and
+    rename the scale/trans branches."""
+    out = {}
+    for k, v in sd.items():
+        if "mano_layer_left" in k:
+            continue
+        k = k.replace("mano_layer_right", "mano_layer")
+        k = k.replace("scaletrans_branch_obj", "obj_transhead")
+        k = k.replace("scaletrans_branch.", "mano_transhead.")
+        out[k] = v
+    return out
+
+
+def convert_honet(path: str) -> Dict:
+    """Released HoNet / HASSON-style .pth.tar -> flax variables dict
+    (layout: ``anakin/models/honetMANO.py:36-41`` — base_net ResNet18,
+    mano_branch as in hpregnet, mano_transhead (out 3) + obj_transhead
+    (out 6) two-layer TransHeads)."""
+    sd = _hasson_remap(load_torch_state_dict(path))
+    bb_params, bb_stats = convert_resnet(sd, "base_net.")
+
+    def dense(torch_name):
+        return {"kernel": linear_kernel(sd[f"{torch_name}.weight"]),
+                "bias": sd[f"{torch_name}.bias"]}
+
+    mano_branch = {
+        "Dense_0": dense("mano_branch.base_layer.0"),
+        "Dense_1": dense("mano_branch.base_layer.2"),
+        "Dense_2": dense("mano_branch.pose_reg"),
+    }
+    if "mano_branch.shape_reg.0.weight" in sd:
+        mano_branch["Dense_3"] = dense("mano_branch.shape_reg.0")
+    elif "mano_branch.shape_reg.weight" in sd:
+        mano_branch["Dense_3"] = dense("mano_branch.shape_reg")
+    heads = {
+        name: {"Dense_0": dense(f"{name}.decoder.0"),
+               "Dense_1": dense(f"{name}.final_layer")}
+        for name in ("mano_transhead", "obj_transhead")
+    }
+    return {
+        "params": {"backbone": bb_params, "mano_branch": mano_branch, **heads},
+        "batch_stats": {"backbone": bb_stats},
+    }
+
+
 def convert_hpregnet(path: str) -> Dict:
     """Released HOPRegNet ("Reg") .pth.tar -> flax variables dict.
 

@@ -173,6 +173,16 @@ def ee_to_rotmat(ee: jnp.ndarray) -> jnp.ndarray:
     return _rx(x) @ _ry(y) @ _rz(z)
 
 
+def rotmat_proj(m: jnp.ndarray) -> jnp.ndarray:
+    """Project (..., 3, 3) onto SO(3): nearest rotation by SVD with a
+    determinant fix (parity: manotorch batch_rotprojs, consumed by the
+    reference's rotmat-mode ManoBranch, anakin/models/mano.py:75)."""
+    u, _, vt = jnp.linalg.svd(m)
+    det = jnp.linalg.det(u @ vt)
+    u = u.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+    return u @ vt
+
+
 def rotmat_to_rot6d(rot: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) -> (..., 6): first two columns, column-major (Zhou CVPR'19)."""
     return jnp.concatenate([rot[..., :, 0], rot[..., :, 1]], axis=-1)

@@ -45,3 +45,42 @@ def test_pallas_nonsquare(rng):
     a, d = rasterize_batch_pallas(verts, attrs, faces, None, 24, 40, tile_px=256)
     assert a.shape == (2, 24, 40, 3) and d.shape == (2, 24, 40)
     assert np.asarray(d).max() > 0
+
+
+@pytest.mark.parametrize("xbin_w,tile_rows", [(16, 8), (8, 4)])
+def test_pallas_binned_matches_1d(rng, xbin_w, tile_rows):
+    """2D x-binned path is pixel-identical to the 1D y-culled path
+    (same packed planes, same depth-test tie-breaking)."""
+    verts, attrs, faces = _scene(rng)
+    H = W = 32
+    a_ref, d_ref = rasterize_batch_pallas(verts, attrs, faces, None, H, W,
+                                          tile_px=256)
+    a_out, d_out = rasterize_batch_pallas(verts, attrs, faces, None, H, W,
+                                          xbin_w=xbin_w, tile_rows=tile_rows)
+    np.testing.assert_allclose(np.asarray(d_out), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(a_ref), atol=1e-6)
+
+
+def test_pallas_binned_matches_xla(rng):
+    verts, attrs, faces = _scene(rng)
+    H = W = 32
+    a_ref, d_ref = rasterize_batch(verts, attrs, faces, None, H, W,
+                                   face_chunk=16, row_chunk=8)
+    a_out, d_out = rasterize_batch_pallas(verts, attrs, faces, None, H, W,
+                                          xbin_w=16, tile_rows=8)
+    close_d = np.isclose(np.asarray(d_out), np.asarray(d_ref), atol=1e-3)
+    assert close_d.mean() > 0.995
+    close_a = np.all(np.isclose(np.asarray(a_out), np.asarray(a_ref), atol=1e-2), axis=-1)
+    assert close_a.mean() > 0.995
+
+
+def test_pallas_binned_nonmultiple_dims(rng):
+    """H not a multiple of tile_rows, W not a multiple of xbin_w."""
+    verts, attrs, faces = _scene(rng, H=24, W=40)
+    a_ref, d_ref = rasterize_batch_pallas(verts, attrs, faces, None, 24, 40,
+                                          tile_px=256)
+    a, d = rasterize_batch_pallas(verts, attrs, faces, None, 24, 40,
+                                  xbin_w=16, tile_rows=5)
+    assert a.shape == (2, 24, 40, 3) and d.shape == (2, 24, 40)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref), atol=1e-6)

@@ -240,3 +240,87 @@ def test_hpregnet_head_conversion_parity():
     # mano branch dense stack shapes landed
     assert p["mano_branch"]["Dense_2"]["kernel"].shape == (512, 18)
     assert p["mano_branch"]["Dense_3"]["bias"].shape == (10,)
+
+
+def test_honet_hasson_conversion_parity():
+    """convert_honet remaps HASSON[CVPR2020] keys (honetMANO.py:78-111):
+    scaletrans_branch -> mano_transhead, scaletrans_branch_obj ->
+    obj_transhead, mano_layer_left dropped."""
+    from artiboost_tpu.utils.torch_convert import convert_honet
+
+    class _TorchHeads(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_layer = torch.nn.Sequential(
+                torch.nn.Linear(512, 512), torch.nn.ReLU(),
+                torch.nn.Linear(512, 512), torch.nn.ReLU())
+            self.pose_reg = torch.nn.Linear(512, 18)
+            self.shape_reg = torch.nn.Sequential(torch.nn.Linear(512, 10))
+
+    class _TorchTrans(torch.nn.Module):
+        def __init__(self, out_dim):
+            super().__init__()
+            self.decoder = torch.nn.Sequential(
+                torch.nn.Linear(512, 256), torch.nn.ReLU())
+            self.final_layer = torch.nn.Linear(256, out_dim)
+
+        def forward(self, x):
+            return self.final_layer(self.decoder(x))
+
+    heads = _TorchHeads()
+    t_mano, t_obj = _TorchTrans(3), _TorchTrans(6)
+    sd = {"mano_branch." + k: v.detach().numpy()
+          for k, v in heads.state_dict().items()}
+    # HASSON naming on disk, plus left-hand buffers that must be dropped
+    sd.update({"scaletrans_branch." + k: v.detach().numpy()
+               for k, v in t_mano.state_dict().items()})
+    sd.update({"scaletrans_branch_obj." + k: v.detach().numpy()
+               for k, v in t_obj.state_dict().items()})
+    sd["mano_branch.mano_layer_left.th_shapedirs"] = np.zeros((2, 2), np.float32)
+    sd["mano_branch.mano_layer_right.th_shapedirs"] = np.zeros((2, 2), np.float32)
+    mini = _TorchMiniResNet()
+    sd.update({"base_net." + k: v.detach().numpy()
+               for k, v in mini.state_dict().items()})
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pth.tar") as f:
+        torch.save({"state_dict": {k: torch.as_tensor(v)
+                                   for k, v in sd.items()}}, f.name)
+        variables = convert_honet(f.name)
+
+    p = variables["params"]
+    from artiboost_tpu.models.hpregnet import TransHead
+    x = torch.randn(4, 512)
+    for name, tmod, dim in (("mano_transhead", t_mano, 3),
+                            ("obj_transhead", t_obj, 6)):
+        out = TransHead(out_dim=dim).apply({"params": p[name]},
+                                           jnp.asarray(_np(x)))
+        np.testing.assert_allclose(np.asarray(out), _np(tmod(x)), **TOL)
+    assert not any("mano_layer" in k for k in p)
+
+
+def test_rotmat_mode_mano_branch():
+    """use_pca=False ManoBranch: 16x9 head -> SVD projection -> FK
+    (reference mano.py:75; rotmat_proj parity with manotorch rotprojs)."""
+    from artiboost_tpu.mano import synthetic_mano_model
+    from artiboost_tpu.models.hpregnet import ManoBranch
+    from artiboost_tpu.utils.transform import aa_to_rotmat, rotmat_proj
+
+    # rotmat_proj: already-orthonormal input is a fixpoint; noisy input
+    # projects to a proper rotation
+    rng = np.random.RandomState(0)
+    aa = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    R = aa_to_rotmat(aa)
+    np.testing.assert_allclose(np.asarray(rotmat_proj(R)), np.asarray(R), atol=1e-5)
+    noisy = R + 0.05 * jnp.asarray(rng.randn(8, 3, 3).astype(np.float32))
+    P = np.asarray(rotmat_proj(noisy))
+    eye = np.einsum("bij,bkj->bik", P, P)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+    assert np.allclose(np.linalg.det(P), 1.0, atol=1e-5)
+
+    mb = ManoBranch(mano_model=synthetic_mano_model(), use_pca=False)
+    feat = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+    out = mb.init_with_output(jax.random.PRNGKey(0), feat)[0]
+    assert out["joints_3d"].shape == (2, 21, 3)
+    assert out["mano_pca_pose"].shape == (2, 144)
+    assert np.isfinite(np.asarray(out["hand_verts_3d"])).all()
