@@ -249,10 +249,11 @@ def rasterize_batch_pallas(
                                  xbin_w, tile_rows)
 
     if tile_px is None:
-        # measured sweet spots: at 224px a tile of ~4.5 rows amortizes
-        # per-tile overhead (100.1 ms vs 101.7 @512); at >=512px a
-        # single-row tile's tighter y-culling wins (116 ms vs 121 @1024)
-        tile_px = 512 if width >= 512 else 1024
+        # measured sweet spots: 512 wins on real grasp scenes at 224px
+        # (95.1 ms vs 97.4 @1024, B=128 composed hand+object) and within
+        # 1.6% of 1024 on the random worst case; at >=512px a single-row
+        # 512 tile's tighter y-culling also wins (116 ms vs 121 @1024)
+        tile_px = 512
     n_pix = height * width
     n_tiles = (n_pix + tile_px - 1) // tile_px
 
