@@ -7,9 +7,11 @@ op), ResBlock MLP predicting delta pose (16 x 6D rotation) + delta
 translation, re-evaluating contact each of N iterations.
 
 Note on 6D layout: this implementation uses the column-major ortho-6D
-convention of ``utils.transform.rot6d_to_rotmat``; GrabNet's released
-checkpoint stores row-interleaved pairs — the torch converter permutes
-when importing ``refinenet.pt``.
+convention of ``utils.transform.rot6d_to_rotmat``. GrabNet's released
+``refinenet.pt`` is NOT directly importable — this RefineNet is a
+re-design (LayerNorm ResBlocks, zero-init delta heads, different widths)
+— so ``build_refiner`` loads the natively-trained
+``assets/refinenet_tpu.npz`` (``script/train_refiner.py``) instead.
 """
 from __future__ import annotations
 

@@ -33,6 +33,77 @@ def _git_commit() -> Optional[str]:
         return None
 
 
+def _git_dirty() -> bool:
+    """True when the working tree has uncommitted changes."""
+    import subprocess
+
+    try:
+        out = subprocess.run(["git", "status", "--porcelain"],
+                             capture_output=True, text=True, timeout=5)
+        return out.returncode == 0 and bool(out.stdout.strip())
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _draw_arch_png(names, edges, path: str) -> None:
+    """Render the model DAG to a PNG with PIL: nodes layered by longest
+    path from a source, boxes + arrows. Replaces the reference's
+    networkx/matplotlib ``arch.png`` (recorder.py:150-156)."""
+    from PIL import Image, ImageDraw
+
+    preds: Dict[str, list] = {n: [] for n in names}
+    for a, b in edges:
+        preds[b].append(a)
+    depth: Dict[str, int] = {}
+
+    def _depth(n, seen=()):
+        if n in depth:
+            return depth[n]
+        if n in seen:  # cycle guard — draw flat rather than recurse forever
+            return 0
+        d = 0 if not preds[n] else 1 + max(_depth(p, seen + (n,))
+                                           for p in preds[n])
+        depth[n] = d
+        return d
+
+    for n in names:
+        _depth(n)
+    layers: Dict[int, list] = {}
+    for n in names:
+        layers.setdefault(depth[n], []).append(n)
+    n_layers = max(layers) + 1
+    n_wide = max(len(v) for v in layers.values())
+    bw, bh, gx, gy, margin = 180, 44, 60, 70, 30
+    W = margin * 2 + n_wide * bw + (n_wide - 1) * gx
+    H = margin * 2 + n_layers * bh + (n_layers - 1) * gy
+    img = Image.new("RGB", (W, H), "white")
+    draw = ImageDraw.Draw(img)
+    pos: Dict[str, tuple] = {}
+    for d in range(n_layers):
+        row = layers.get(d, [])
+        x0 = (W - (len(row) * bw + (len(row) - 1) * gx)) // 2
+        y = margin + d * (bh + gy)
+        for i, n in enumerate(sorted(row)):
+            x = x0 + i * (bw + gx)
+            pos[n] = (x + bw // 2, y, y + bh)
+            draw.rectangle([x, y, x + bw, y + bh], outline="black",
+                           fill=(235, 240, 250), width=2)
+            label = n if len(n) <= 24 else n[:23] + "…"
+            draw.text((x + 8, y + bh // 2 - 6), label, fill="black")
+    for a, b in edges:
+        ax, _, ay1 = pos[a]
+        bx, by0, _ = pos[b]
+        draw.line([ax, ay1, bx, by0], fill="black", width=2)
+        # arrowhead
+        import math
+        ang = math.atan2(by0 - ay1, bx - ax)
+        for s in (-0.4, 0.4):
+            draw.line([bx, by0,
+                       bx - 10 * math.cos(ang + s), by0 - 10 * math.sin(ang + s)],
+                      fill="black", width=2)
+    img.save(path)
+
+
 class Recorder:
     def __init__(self, exp_id: str, cfg: Dict, root: str = "exp",
                  eval_only: bool = False, resume_path: Optional[str] = None,
@@ -47,6 +118,12 @@ class Recorder:
                 logger.warning(
                     f"exp '{exp_id}' started without a git commit — the run "
                     "will not be reproducible from version control")
+            elif _git_dirty():
+                logger.warning(
+                    f"exp '{exp_id}' @ git {commit[:12]} with UNCOMMITTED "
+                    "changes — the reference refuses to run named experiments "
+                    "from a dirty tree (recorder.py:42); commit first for "
+                    "reproducibility")
             else:
                 logger.info(f"exp '{exp_id}' @ git {commit[:12]}")
         ts = timestamp or time.strftime("%Y_%m%d_%H%M_%S")
@@ -135,8 +212,9 @@ class Recorder:
 
     # ------------------------------------------------------------------
     def record_arch(self, arch) -> None:
-        """Text + DOT dump of the model DAG (parity: recorder.py:150-156's
-        networkx arch.png, without the graphviz dependency)."""
+        """Text + DOT + PNG dump of the model DAG (parity: the reference
+        recorder.py:150-156 saves a networkx-drawn ``arch.png``; here the
+        PNG is drawn with PIL so no graphviz/networkx dependency)."""
         path = os.path.join(self.dump_path, "arch")
         edges = arch.to_graph()
         with open(path + ".txt", "w") as f:
@@ -150,6 +228,10 @@ class Recorder:
             for a, b in edges:
                 f.write(f'  "{a}" -> "{b}";\n')
             f.write("}\n")
+        try:
+            _draw_arch_png(list(arch.names), edges, path + ".png")
+        except Exception as e:  # viz must never kill a run
+            logger.warning(f"arch.png render failed: {e}")
 
     # ------------------------------------------------------------------
     def record_evaluator(self, evaluator, epoch: int, split: str = "train"):
