@@ -157,7 +157,7 @@ class ArtiBoostLoader:
             crop_model=data_preset.get("CROP_MODEL", "root_obj"),
             center_idx=int(data_preset.get("CENTER_IDX", 0)),
             bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
-            cull_backfaces=bool(rend_cfg.get("CULL_BACKFACES", False)),
+            cull_backfaces=bool(rend_cfg.get("CULL_BACKFACES", True)),
         )
         self.assets: RenderAssets = default_render_assets(
             self.mano_model,

@@ -225,7 +225,7 @@ def synthetic_object_library(
                             fs.append([p0 + 1, p0 + n_side + 1, p0 + n_side])
             verts = np.asarray(vs, np.float32) * size * 2
             faces = np.asarray(fs, np.int32)
-        else:  # cylinder
+        else:  # cylinder (closed: side tube + two cap fans)
             n_seg, n_h = 24, 10
             vs, fs = [], []
             for hi in range(n_h):
@@ -239,9 +239,24 @@ def synthetic_object_library(
                     p1 = hi * n_seg + (si + 1) % n_seg
                     fs.append([p0, p1, p0 + n_seg])
                     fs.append([p1, p1 + n_seg, p0 + n_seg])
+            c_bot, c_top = len(vs), len(vs) + 1
+            vs.append([0.0, 0.0, -size[2]])
+            vs.append([0.0, 0.0, size[2]])
+            top = (n_h - 1) * n_seg
+            for si in range(n_seg):
+                fs.append([c_bot, (si + 1) % n_seg, si])
+                fs.append([c_top, top + si, top + (si + 1) % n_seg])
             verts = np.asarray(vs, np.float32)
             faces = np.asarray(fs, np.int32)
         verts, _, _ = center_vert_bbox(verts, scale=False)
+        # orient every face outward (consistent winding, like real YCB
+        # meshes) so the rasterizer's backface culling is valid on the
+        # stand-ins too; both shapes are star-convex about the origin,
+        # so normal-vs-radial decides the flip
+        fv = verts[faces]
+        normal = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        flip = (normal * fv.mean(1)).sum(-1) < 0
+        faces[flip] = faces[flip][:, ::-1]
         color = np.tile(rng.rand(3).astype(np.float32) * 0.6 + 0.2, (verts.shape[0], 1))
         meshes.append({
             "verts": verts, "faces": faces, "colors": color,

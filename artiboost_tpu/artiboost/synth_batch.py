@@ -45,9 +45,12 @@ class SynthConfig(NamedTuple):
     scale_jit: float = 0.1
     max_rot: float = 0.2
     blur_max_sigma: float = 1.0
-    # ~1.4x raster for closed, consistently-wound meshes (real MANO/YCB);
-    # keep False for the open synthetic stand-in meshes
-    cull_backfaces: bool = False
+    # pyrender (the reference renderer) culls backfaces by default, so
+    # culling is the parity behavior; all meshes here (real MANO/YCB AND
+    # the synthetic stand-ins) are consistently outward-wound. Measured
+    # +7.7% synth throughput (script/probe_cull.py) — the raster is
+    # per-tile-overhead-bound, so halving faces buys less than 2x
+    cull_backfaces: bool = True
 
 
 def _annot_center_scale(pts2d: jnp.ndarray):

@@ -92,8 +92,11 @@ def build_screen_faces(
         # consistently-wound meshes (MANO, YCB): screen-space signed area
         # flips sign for faces seen from behind; the z-buffer already hides
         # them, so culling changes nothing visually but halves the face set
-        # (invalid faces y-sort to the end and their chunks are skipped)
-        valid = valid * (area > 0).astype(jnp.float32)
+        # (invalid faces y-sort to the end and their chunks are skipped).
+        # Sign: outward-wound (normal·view < 0 when front-facing) projects
+        # to NEGATIVE signed area under the y-down pixel convention of
+        # project_verts (verified empirically in tests/test_rasterizer.py)
+        valid = valid * (area < 0).astype(jnp.float32)
 
     inv_z = 1.0 / jnp.maximum(z, 1e-6)
     bbox = jnp.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=-1)
@@ -159,7 +162,8 @@ def _raster_tile(
     return depth, attrs
 
 
-@partial(jax.jit, static_argnames=("height", "width", "face_chunk", "row_chunk"))
+@partial(jax.jit, static_argnames=("height", "width", "face_chunk", "row_chunk",
+                                   "cull_backfaces"))
 def rasterize(
     verts_screen: jnp.ndarray,  # (V, 3)
     vert_attrs: jnp.ndarray,    # (V, A)
@@ -169,9 +173,11 @@ def rasterize(
     width: int,
     face_chunk: int = 512,
     row_chunk: int = 16,
+    cull_backfaces: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (attrs (H, W, A), depth (H, W)); depth 0 = background."""
-    sf = build_screen_faces(verts_screen, vert_attrs, faces, face_valid)
+    sf = build_screen_faces(verts_screen, vert_attrs, faces, face_valid,
+                            cull_backfaces=cull_backfaces)
     n_attr = vert_attrs.shape[-1]
 
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
@@ -197,8 +203,10 @@ def rasterize_batch(
     width: int,
     face_chunk: int = 512,
     row_chunk: int = 16,
+    cull_backfaces: bool = False,
 ):
-    fn = lambda v, a, m: rasterize(v, a, faces, m, height, width, face_chunk, row_chunk)
+    fn = lambda v, a, m: rasterize(v, a, faces, m, height, width, face_chunk,
+                                   row_chunk, cull_backfaces)
     if face_valid is None:
         face_valid = jnp.ones((verts_screen.shape[0], faces.shape[0]), jnp.float32)
     return jax.vmap(fn)(verts_screen, vert_attrs, face_valid)

@@ -164,25 +164,35 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int):
 
 
 def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
-                   tile_px: int, n_tiles: int):
+                   tile_px: int, n_tiles: int, sub_k: int):
+    """One grid step rasterizes ``sub_k`` consecutive tiles (statically
+    unrolled): the fixed per-grid-step cost (~12 us measured — Mosaic
+    step machinery + output DMA turnaround) dominates the raster at
+    realistic face counts, so amortizing it over k tiles is the lever —
+    each sub-tile keeps its OWN tight chunk range from the prefetch
+    table, unlike simply growing tile_px (which loosens y-culling)."""
     b = pl.program_id(0)
-    t = pl.program_id(1)
-    base = t * tile_px
-    pix = base + jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0)
-    x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
-    y = (pix // width).astype(jnp.float32) + 0.5
+    s = pl.program_id(1)
+    for j in range(sub_k):
+        t = s * sub_k + j
+        base = t * tile_px
+        pix = base + jax.lax.broadcasted_iota(jnp.int32, (tile_px, 1), 0)
+        x = (pix % width).astype(jnp.float32) + 0.5  # (TP, 1)
+        y = (pix // width).astype(jnp.float32) + 0.5
 
-    # ranges is flat (B * n_tiles * 2,): SMEM pads trailing dims to the
-    # lane width, so a (B, T, 2) layout would blow the 1MB SMEM budget
-    rbase = (b * n_tiles + t) * 2
-    r8, g8, b8, depth = _tile_core(
-        x, y, lambda c: packed_ref[0, c], lambda c: colors_ref[0, c],
-        ranges_ref[rbase], ranges_ref[rbase + 1], tile_px)
+        # ranges is flat (B * n_super * sub_k * 2,): SMEM pads trailing
+        # dims to the lane width, so a (B, T, 2) layout would blow the
+        # 1MB SMEM budget
+        rbase = (b * n_tiles + t) * 2
+        r8, g8, b8, depth = _tile_core(
+            x, y, lambda c: packed_ref[0, c], lambda c: colors_ref[0, c],
+            ranges_ref[rbase], ranges_ref[rbase + 1], tile_px)
 
-    out_ref[0, 0, :, 0:1] = r8 * (1.0 / 255.0)
-    out_ref[0, 0, :, 1:2] = g8 * (1.0 / 255.0)
-    out_ref[0, 0, :, 2:3] = b8 * (1.0 / 255.0)
-    out_ref[0, 0, :, 3:4] = depth
+        lo = j * tile_px
+        out_ref[0, 0, lo:lo + tile_px, 0:1] = r8 * (1.0 / 255.0)
+        out_ref[0, 0, lo:lo + tile_px, 1:2] = g8 * (1.0 / 255.0)
+        out_ref[0, 0, lo:lo + tile_px, 2:3] = b8 * (1.0 / 255.0)
+        out_ref[0, 0, lo:lo + tile_px, 3:4] = depth
 
 
 def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
@@ -209,7 +219,8 @@ def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
-                                   "cull_backfaces", "xbin_w", "tile_rows"))
+                                   "cull_backfaces", "xbin_w", "tile_rows",
+                                   "sub_k"))
 def rasterize_batch_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3)
     vert_attrs: jnp.ndarray,    # (B, V, 3) rgb
@@ -221,6 +232,7 @@ def rasterize_batch_pallas(
     cull_backfaces: bool = False,
     xbin_w: Optional[int] = None,
     tile_rows: int = 8,
+    sub_k: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background.
 
@@ -254,8 +266,12 @@ def rasterize_batch_pallas(
         # 1.6% of 1024 on the random worst case; at >=512px a single-row
         # 512 tile's tighter y-culling also wins (116 ms vs 121 @1024)
         tile_px = 512
+    if sub_k is None:
+        sub_k = 1
     n_pix = height * width
     n_tiles = (n_pix + tile_px - 1) // tile_px
+    n_super = (n_tiles + sub_k - 1) // sub_k
+    n_tiles = n_super * sub_k  # pad: extra tiles get empty chunk ranges
 
     # sort faces by screen-y so each 128-face chunk is y-coherent
     ymin_key = jnp.where(sf.valid > 0, sf.bbox[..., 1], _BIG)  # (B, F)
@@ -291,20 +307,23 @@ def rasterize_batch_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_tiles),
+        grid=(B, n_super),
         in_specs=[
             pl.BlockSpec((1, n_chunks, N_ROWS, LANE), lambda b, t, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_chunks, N_ROWS, LANE), lambda b, t, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile_px, 4), lambda b, t, *_: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, sub_k * tile_px, 4),
+                               lambda b, t, *_: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        partial(_raster_kernel, width=width, tile_px=tile_px, n_tiles=n_tiles),
+        partial(_raster_kernel, width=width, tile_px=tile_px, n_tiles=n_tiles,
+                sub_k=sub_k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles, tile_px, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_super, sub_k * tile_px, 4),
+                                       jnp.float32),
         interpret=jax.default_backend() == "cpu",  # tests run on CPU mesh
     )(ranges, packed, colors)
 

@@ -115,6 +115,36 @@ class TestRasterizerVsGolden:
         assert not np.any(np.isclose(d, 1.0))  # far triangle gone
         assert np.any(np.isclose(d, 0.5))
 
+    def test_backface_cull_sign_and_identity(self):
+        """Culling keeps exactly the outward-facing (normal·view < 0)
+        faces of a consistently-wound closed mesh, and the rendered image
+        of a closed mesh is identical with or without culling (the
+        z-buffer already hides every backface)."""
+        from artiboost_tpu.artiboost.object_library import synthetic_object_library
+
+        lib = synthetic_object_library(["box", "cyl"])
+        for o in range(2):
+            v = np.asarray(lib.verts[o]) + [0.0, 0.0, 0.5]
+            f = np.asarray(lib.faces[o])
+            fvd = np.asarray(lib.face_valid[o])
+            vs = project_verts(jnp.asarray(v), 435.0, 435.0, 112.0, 112.0)
+            colors = jnp.asarray(lib.colors[o])
+            sf = build_screen_faces(vs, colors, jnp.asarray(f),
+                                    jnp.asarray(fvd), cull_backfaces=True)
+            kept = np.asarray(sf.valid) > 0
+            fvs = v[f]
+            n = np.cross(fvs[:, 1] - fvs[:, 0], fvs[:, 2] - fvs[:, 0])
+            front = ((n * fvs.mean(1)).sum(-1) < 0) & (fvd > 0)
+            assert (kept == front)[fvd > 0].all()
+
+            H = W = 64
+            a0, d0 = rasterize(vs, colors, jnp.asarray(f), jnp.asarray(fvd),
+                               H, W, cull_backfaces=False)
+            a1, d1 = rasterize(vs, colors, jnp.asarray(f), jnp.asarray(fvd),
+                               H, W, cull_backfaces=True)
+            np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
+
     def test_batched(self, rng):
         verts, attrs, faces = _make_triangle_scene()
         H = W = 32
