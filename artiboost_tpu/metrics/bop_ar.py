@@ -1,7 +1,11 @@
 """Test-time BOP metric: symmetry-aware MSSD averaged per object, plus
-the BOP average-recall over MSSD thresholds (parity:
-``anakin/metrics/bopAR.py:16-190``; the AR-over-thresholds extension
-follows the BOP challenge definition of recall at 0.05..0.5 diameter).
+the BOP average-recalls (parity: ``anakin/metrics/bopAR.py:16-190``; the
+AR-over-thresholds extension follows the BOP challenge definition —
+AR_MSSD at 0.05..0.5 diameter, AR_MSPD at 5..50 px scaled by w/640).
+VSD is deliberately out of scope: it needs per-sample depth renders +
+visibility masks of the TEST images, which neither the reference's
+training loop nor its eval CLI ever computes (its vendored bop_toolkit
+VSD path is dead code there too).
 """
 from __future__ import annotations
 
@@ -12,7 +16,7 @@ import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.metrics.metric import AverageMeter, Metric
-from artiboost_tpu.metrics.val_metric import mssd_values
+from artiboost_tpu.metrics.val_metric import mspd_values, mssd_values
 from artiboost_tpu.utils.bop_sym import build_sym_tensor, default_ycb_model_info
 from artiboost_tpu.utils.registry import METRIC
 
@@ -25,7 +29,10 @@ class AR(Metric):
             raise NotImplementedError("only MSSD-based AR is supported")
         self.mssd_use_corners = cfg.get("MSSD_USE_CORNERS", False)
         self.use_ho3d_ycb = cfg.get("USE_HO3D_YCB", False)
+        self.use_mspd = cfg.get("USE_MSPD", True)
         data_preset = cfg.get("DATA_PRESET", {}) or {}
+        self.image_width = float(
+            (data_preset.get("IMAGE_SIZE") or [224, 224])[0])
         self.center_idx: Optional[int] = (
             data_preset.get("CENTER_IDX") if cfg.get("MSSD_USE_CENTER_IDX", False) else None
         )
@@ -48,11 +55,13 @@ class AR(Metric):
 
     def reset(self):
         self.count = 0
-        # per-sample MSSD values stay ON DEVICE as deferred chunks (no
-        # blocking fetch per feed); folded to host every _FOLD feeds
+        # per-sample MSSD/MSPD values stay ON DEVICE as deferred chunks
+        # (no blocking fetch per feed); folded to host every _FOLD feeds
         self._errors: List[jnp.ndarray] = []
+        self._errors_px: List[jnp.ndarray] = []
         self._err_obj: List[jnp.ndarray] = []
         self._host_errors: List[np.ndarray] = []
+        self._host_errors_px: List[np.ndarray] = []
         self._host_obj: List[np.ndarray] = []
         self._ones_pad = None
 
@@ -82,6 +91,19 @@ class AR(Metric):
             self.use_ho3d_ycb,
         )
         self._errors.append(vals_m)
+        if self.use_mspd and Queries.CAM_INTR in targs:
+            vals_px = mspd_values(
+                preds["box_rot_rotmat"],
+                preds["boxroot_3d_abs"].reshape(-1, 1, 3),
+                obj_can, pad,
+                targs[Queries.OBJ_TRANSF],
+                jnp.asarray(targs[Queries.CAM_INTR]),
+                self.sym_R[gather], self.sym_t[gather], self.sym_valid[gather],
+                self.use_ho3d_ycb,
+            )
+        else:
+            vals_px = jnp.full(vals_m.shape, jnp.nan, vals_m.dtype)
+        self._errors_px.append(vals_px)
         self._err_obj.append(obj_idx)
         self.count += int(vals_m.shape[0])
         if len(self._errors) >= self._FOLD:
@@ -91,23 +113,28 @@ class AR(Metric):
         if not self._errors:
             return
         self._host_errors.append(np.asarray(jnp.concatenate(self._errors)))
+        self._host_errors_px.append(
+            np.asarray(jnp.concatenate(self._errors_px)))
         self._host_obj.append(np.asarray(jnp.concatenate(self._err_obj)))
-        self._errors, self._err_obj = [], []
+        self._errors, self._errors_px, self._err_obj = [], [], []
 
     def _collect(self):
-        """-> (errors (N,), obj_idx (N,)) on host; padded rows dropped."""
+        """-> (errors (N,), errors_px (N,), obj_idx (N,)) on host; padded
+        rows dropped."""
         self._fold()
         if not self._host_errors:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int32)
+            z = np.zeros((0,), np.float32)
+            return z, z, np.zeros((0,), np.int32)
         errors = np.concatenate(self._host_errors)
+        errors_px = np.concatenate(self._host_errors_px)
         obj = np.concatenate(self._host_obj)
         keep = obj >= 0
-        return errors[keep], obj[keep]
+        return errors[keep], errors_px[keep], obj[keep]
 
     @property
     def objs_error(self) -> Dict[int, AverageMeter]:
         """Host view of per-object meters (fetches; epoch-boundary use)."""
-        errors, obj = self._collect()
+        errors, _, obj = self._collect()
         out = {i + 1: AverageMeter() for i in range(self.n_obj)}
         for i in range(1, self.n_obj + 1):
             e = errors[obj == i]
@@ -117,22 +144,34 @@ class AR(Metric):
 
     @property
     def avg(self) -> float:
-        errors, _ = self._collect()
+        errors, _, _ = self._collect()
         return float(errors.sum()) / max(errors.size, 1) * 1000.0  # mm
 
     def get_measures(self, **kwargs) -> Dict[str, float]:
-        errors, obj = self._collect()
+        errors, errors_px, obj = self._collect()
         measures = {"MSSD": float(errors.sum()) / max(errors.size, 1) * 1000.0}
         for idx in range(1, self.n_obj + 1):
             e = errors[obj == idx]
             if e.size:
                 measures[f"MSSD_obj_{idx}"] = float(e.mean()) * 1000.0
-        # BOP AR: mean recall over thresholds theta = 0.05..0.5 of diameter
+        # BOP ARs: mean recall over the challenge threshold grids
         if errors.size:
             diam = self.diameters[obj - 1]
             thetas = np.linspace(0.05, 0.5, 10)
             recalls = [(errors < th * diam).mean() for th in thetas]
             measures["AR_MSSD"] = float(np.mean(recalls))
+            has_px = np.isfinite(errors_px)
+            if has_px.any():
+                px = errors_px[has_px]
+                measures["MSPD"] = float(px.mean())
+                # BOP: r = 5..50 px at 640-wide images, scaled by w/640
+                rs = np.linspace(5, 50, 10) * (self.image_width / 640.0)
+                recalls_px = [(px < r).mean() for r in rs]
+                measures["AR_MSPD"] = float(np.mean(recalls_px))
+                # the BOP-core AR averages VSD too; VSD is out of scope
+                # here (module docstring) so this is the 2-term mean
+                measures["AR_BOP2"] = float(
+                    (measures["AR_MSSD"] + measures["AR_MSPD"]) / 2.0)
         return measures
 
     def __str__(self) -> str:

@@ -151,6 +151,16 @@ def mssd_values(
     min over symmetries of (max over valid points of |T_gt S x - T_pred x|).
     Parity: reference val_metric.py:294-315.
     """
+    sym_abs, pred_abs = _sym_pred_abs(
+        pred_rot, pred_tsl, obj_can, obj_transf, sym_R, sym_t, use_ho3d_ycb)
+    d = jnp.linalg.norm(sym_abs - pred_abs[:, None], axis=-1)  # (B, S, V)
+    return _masked_maxmin(d, pad_mask, sym_valid)
+
+
+def _sym_pred_abs(pred_rot, pred_tsl, obj_can, obj_transf, sym_R, sym_t,
+                  use_ho3d_ycb):
+    """GT-posed symmetry-transformed points (B, S, V, 3) + predicted-posed
+    points (B, V, 3) — shared core of MSSD and MSPD."""
     if use_ho3d_ycb:
         ext = jnp.asarray(_CAM_EXTR)
         flipped = jnp.einsum("mn,bvn->bvm", ext, obj_can)
@@ -163,12 +173,51 @@ def mssd_values(
         + obj_transf[:, None, None, :3, 3]
     )  # (B, S, V, 3)
     pred_abs = jnp.einsum("bij,bvj->bvi", pred_rot, obj_can) + pred_tsl  # (B, V, 3)
-    d = jnp.linalg.norm(sym_abs - pred_abs[:, None], axis=-1)  # (B, S, V)
+    return sym_abs, pred_abs
+
+
+def _masked_maxmin(d, pad_mask, sym_valid):
+    """max over valid points, min over valid symmetries: (B, S, V) -> (B,)."""
     d = jnp.where(pad_mask[:, None, :] > 0, d, 0.0)
     d_max = jnp.max(d, axis=-1)  # (B, S)
     big = jnp.asarray(jnp.finfo(d_max.dtype).max, d_max.dtype)
     d_max = jnp.where(sym_valid > 0, d_max, big)
     return jnp.min(d_max, axis=-1)
+
+
+def mspd_values(
+    pred_rot: jnp.ndarray,     # (B, 3, 3)
+    pred_tsl: jnp.ndarray,     # (B, 1, 3)
+    obj_can: jnp.ndarray,      # (B, V, 3)
+    pad_mask: jnp.ndarray,     # (B, V)
+    obj_transf: jnp.ndarray,   # (B, 4, 4)
+    intr: jnp.ndarray,         # (B, 3, 3) camera of the eval image
+    sym_R: jnp.ndarray,
+    sym_t: jnp.ndarray,
+    sym_valid: jnp.ndarray,
+    use_ho3d_ycb: bool = False,
+) -> jnp.ndarray:
+    """Maximum symmetry-aware PROJECTION distance, pixels (B,).
+
+    BOP's MSPD (bop_toolkit pose_error.py::mspd — vendored by the
+    reference at anakin/utils/bop_toolkit/..., never called in its
+    training loop): min over symmetries of (max over valid points of
+    |proj(T_gt S x) - proj(T_pred x)|_2). Computed in the eval image's
+    (crop) pixel space with its adjusted intrinsics."""
+    sym_abs, pred_abs = _sym_pred_abs(
+        pred_rot, pred_tsl, obj_can, obj_transf, sym_R, sym_t, use_ho3d_ycb)
+
+    def proj(p, expand):  # (..., 3) -> (..., 2) pixels
+        z = jnp.maximum(p[..., 2], 1e-6)
+        fx = intr[:, 0, 0].reshape((-1,) + (1,) * expand)
+        fy = intr[:, 1, 1].reshape((-1,) + (1,) * expand)
+        cx = intr[:, 0, 2].reshape((-1,) + (1,) * expand)
+        cy = intr[:, 1, 2].reshape((-1,) + (1,) * expand)
+        return jnp.stack([p[..., 0] / z * fx + cx,
+                          p[..., 1] / z * fy + cy], axis=-1)
+
+    d = jnp.linalg.norm(proj(sym_abs, 2) - proj(pred_abs, 1)[:, None], axis=-1)
+    return _masked_maxmin(d, pad_mask, sym_valid)
 
 
 @METRIC.register_module

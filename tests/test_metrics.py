@@ -271,8 +271,63 @@ class TestSampleValid:
         m.feed(bad, targs)
         meas = m.get_measures()
         assert meas["MSSD"] < 1.0  # mm; leaked pad rows would add >>10mm
-        errors, obj = m._collect()
+        errors, _, obj = m._collect()
         assert errors.size == n_valid
+
+    def test_bop_mspd_perfect_and_offset(self, rng):
+        """MSPD: 0 px for a perfect pose; a pure-x translation offset of
+        dx at depth z projects to exactly dx/z*fx px for every point."""
+        from artiboost_tpu.metrics.bop_ar import AR
+        from artiboost_tpu.metrics.val_metric import mspd_values
+
+        B, V = 2, 5
+        can = rng.randn(B, V, 3).astype(np.float32) * 0.03
+        transf = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        transf[:, 2, 3] = 0.5  # object 0.5 m in front of the camera
+        intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112],
+                                 [0, 0, 1]], np.float32), (B, 1, 1))
+        eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+        sym_R = eye[:, None]  # single identity symmetry
+        sym_t = jnp.zeros((B, 1, 3))
+        sym_valid = jnp.ones((B, 1))
+        pad = jnp.ones((B, V))
+        tsl = jnp.asarray(transf[:, None, :3, 3])
+        d0 = mspd_values(eye, tsl, jnp.asarray(can), pad,
+                         jnp.asarray(transf), jnp.asarray(intr),
+                         sym_R, sym_t, sym_valid)
+        np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-3)
+        # the z-spread of `can` makes per-point shifts differ slightly;
+        # bound with the max-depth/min-depth projections
+        doff = mspd_values(eye, tsl + jnp.asarray([0.01, 0.0, 0.0]),
+                           jnp.asarray(can), pad,
+                           jnp.asarray(transf), jnp.asarray(intr),
+                           sym_R, sym_t, sym_valid)
+        zmin = 0.5 + can[..., 2].min()
+        assert (np.asarray(doff) <= 0.01 / zmin * 435.0 + 1e-3).all()
+        assert (np.asarray(doff) >= 0.01 / 0.6 * 435.0).all()
+
+    def test_bop_ar_reports_mspd(self, rng):
+        """AR with CAM_INTR in targs reports MSPD / AR_MSPD / AR_BOP2;
+        a perfect prediction recalls at every threshold."""
+        from artiboost_tpu.metrics.bop_ar import AR
+
+        B = 4
+        preds, targs = _batch(rng, B=B)
+        transf = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        transf[:, 2, 3] = 0.5
+        targs[Queries.OBJ_TRANSF] = jnp.asarray(transf)
+        targs[Queries.CAM_INTR] = jnp.tile(
+            jnp.asarray([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]]),
+            (B, 1, 1))
+        preds = dict(preds)
+        preds["boxroot_3d_abs"] = jnp.asarray(transf[:, None, :3, 3])
+        m = AR(MSSD_USE_CORNERS=True, DATA_PRESET={"IMAGE_SIZE": [224, 224]})
+        m.feed(preds, targs)
+        meas = m.get_measures()
+        assert meas["MSPD"] == pytest.approx(0.0, abs=1e-2)
+        assert meas["AR_MSPD"] == pytest.approx(1.0)
+        assert meas["AR_BOP2"] == pytest.approx(
+            (meas["AR_MSSD"] + meas["AR_MSPD"]) / 2.0)
 
     def test_feed_all_weights_losses_by_valid(self, rng):
         ev = build_evaluator([{"TYPE": "LossesMetric", "VIS_LOSS_KEYS": []}])
