@@ -2,6 +2,10 @@
 the BOP average-recalls (parity: ``anakin/metrics/bopAR.py:16-190``; the
 AR-over-thresholds extension follows the BOP challenge definition —
 AR_MSSD at 0.05..0.5 diameter, AR_MSPD at 5..50 px scaled by w/640).
+MSPD convention caveat: errors are measured in CROP pixel space with the
+crop-adjusted intrinsics and thresholds scaled by IMAGE_SIZE/640 — see
+``val_metric.mspd_values`` for why this deviates from BOP's source-image
+definition and what would make it strict.
 VSD is deliberately out of scope: it needs per-sample depth renders +
 visibility masks of the TEST images, which neither the reference's
 training loop nor its eval CLI ever computes (its vendored bop_toolkit

@@ -202,8 +202,19 @@ def mspd_values(
     BOP's MSPD (bop_toolkit pose_error.py::mspd — vendored by the
     reference at anakin/utils/bop_toolkit/..., never called in its
     training loop): min over symmetries of (max over valid points of
-    |proj(T_gt S x) - proj(T_pred x)|_2). Computed in the eval image's
-    (crop) pixel space with its adjusted intrinsics."""
+    |proj(T_gt S x) - proj(T_pred x)|_2).
+
+    CONVENTION (deliberate deviation from BOP): computed in the eval
+    image's (crop) pixel space with its adjusted intrinsics, with the
+    recall thresholds scaled by IMAGE_SIZE/640 (bop_ar.py). BOP defines
+    MSPD in the 640px-wide SOURCE image; the crop's zoom factor varies
+    per sample, so AR_MSPD here is self-consistent across a run but not
+    strictly comparable to published BOP-challenge numbers. The batch
+    pipeline only carries crop intrinsics (the reference's eval loop is
+    the same — its hodata emits post-affine CAM_INTR only); if raw
+    intrinsics are ever added to Queries, pass those instead and drop
+    the bop_ar.py width scaling. The reference itself never computes
+    MSPD at all — this metric is an extension."""
     sym_abs, pred_abs = _sym_pred_abs(
         pred_rot, pred_tsl, obj_can, obj_transf, sym_R, sym_t, use_ho3d_ycb)
 

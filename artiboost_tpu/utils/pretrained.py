@@ -50,6 +50,7 @@ _IMAGENET_GLOBS = {
 # {"params": ..., "batch_stats": ...} matching the flax module's tree)
 _ARCH_CONVERTERS = {
     "HybridBaseline": torch_convert.convert_hybrid_baseline,
+    "SimpleBaseline": torch_convert.convert_simple_baseline,
     "HOPRegNet": torch_convert.convert_hpregnet,
     "HoNet": torch_convert.convert_honet,
 }

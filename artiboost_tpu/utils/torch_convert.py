@@ -187,6 +187,22 @@ def convert_hybrid_baseline(path: str) -> Dict:
     }
 
 
+def convert_simple_baseline(path: str) -> Dict:
+    """Released SimpleBaseline .pth.tar -> flax variables dict.
+
+    Reference layout (``anakin/models/simplebaseline.py:194-241``):
+    ``backbone.*`` torchvision ResNet + ``pose_head.*`` IntegralDeconvHead
+    (deconv stack + final 1x1 conv) — the same two converters
+    HybridBaseline uses, under SimpleBaseline's attribute names."""
+    sd = load_torch_state_dict(path)
+    bb_params, bb_stats = convert_resnet(sd, "backbone.")
+    head_params, head_stats = convert_integral_head(sd, "pose_head.")
+    return {
+        "params": {"backbone": bb_params, "pose_head": head_params},
+        "batch_stats": {"backbone": bb_stats, "pose_head": head_stats},
+    }
+
+
 def _hasson_remap(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """HASSON[CVPR2020] released checkpoints -> HoNet key layout (parity:
     ``anakin/models/honetMANO.py:78-111`` _load_from_state_dict): drop the
