@@ -158,6 +158,8 @@ class ArtiBoostLoader:
             center_idx=int(data_preset.get("CENTER_IDX", 0)),
             bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
             cull_backfaces=bool(rend_cfg.get("CULL_BACKFACES", True)),
+            motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),
+            motion_blur_prob=float(rend_cfg.get("MOTION_BLUR_PROB", 1.0)),
         )
         self.assets: RenderAssets = default_render_assets(
             self.mano_model,
@@ -388,6 +390,10 @@ class ArtiBoostLoader:
             if len(parts) == 1:
                 yield parts[0]
             else:
+                from artiboost_tpu.utils.misc import warn_dropped_keys
+
+                warn_dropped_keys(parts[0].keys(), parts[1].keys(),
+                                  "ArtiBoostLoader.__iter__")
                 keys = set(parts[0].keys()) & set(parts[1].keys())
                 yield {
                     k: jnp.concatenate(

@@ -218,6 +218,16 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int = 3) -> jnp
     return jax.vmap(blur_one)(img, k)
 
 
+def _motion_blur_h(img: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Horizontal box blur of width k (B, H, W, 3) — the reference's
+    motion-blur kernel is exactly a centered horizontal line of ones/k
+    (``anakin/utils/renderer.py:32-37``)."""
+    r = k // 2
+    pad = jnp.pad(img, ((0, 0), (0, 0), (r, k - 1 - r), (0, 0)), mode="edge")
+    W = img.shape[2]
+    return sum(pad[:, :, i:i + W] for i in range(k)) * (1.0 / k)
+
+
 def _color_jitter(img: jnp.ndarray, key: jax.Array,
                   brightness=0.3, contrast=0.3, saturation=0.3) -> jnp.ndarray:
     B = img.shape[0]
@@ -248,10 +258,13 @@ def render_scene(
                                    # all in-tree meshes are outward-wound.
                                    # +7.7% synth (script/probe_cull.py)
     incidence: Optional[jnp.ndarray] = None,  # (B, V, D) gather-only normals
+    motion_blur: int = 0,          # horizontal box-blur width; 0 = off
+                                   # (the reference default, renderer.py:101)
+    motion_blur_prob: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
-    k_light, k_bg, k_pos = jax.random.split(key, 3)
+    k_light, k_bg, k_pos, k_mb = jax.random.split(key, 4)
 
     # random point light, intensity U(1, 5) (renderer.py:104)
     light_int = jax.random.uniform(k_light, (B, 1), minval=1.0, maxval=5.0) * 0.05
@@ -271,6 +284,14 @@ def render_scene(
     )(verts, intr)
     rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width,
                                         cull_backfaces=cull_backfaces)
+
+    # motion blur runs on the raw render BEFORE bg compositing, exactly
+    # like the reference (renderer.py:113-116: filter2D on color, then
+    # putmask the depth==0 pixels with the background)
+    if motion_blur > 1:
+        blurred = _motion_blur_h(rgb, motion_blur)
+        apply = jax.random.uniform(k_mb, (B,)) < motion_blur_prob
+        rgb = jnp.where(apply[:, None, None, None], blurred, rgb)
 
     # random background crop (renderer.py:111-136): random position of a
     # fixed-size window in the 1.5x bank image. TPU note: a vmapped

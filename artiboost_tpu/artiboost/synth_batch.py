@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from artiboost_tpu.artiboost.object_library import ObjectLibrary
-from artiboost_tpu.artiboost.pose_generator import GeneratedPoses, decode_final_hand
+from artiboost_tpu.artiboost.pose_generator import (
+    GeneratedPoses,
+    decode_final_hand,
+    rotate_hand_global,
+)
 from artiboost_tpu.artiboost.renderer import (
     RenderAssets,
     _color_jitter,
@@ -45,6 +49,11 @@ class SynthConfig(NamedTuple):
     scale_jit: float = 0.1
     max_rot: float = 0.2
     blur_max_sigma: float = 1.0
+    # reference capability renderer.py:113-116 (its training path leaves
+    # it off: render_infra.py:57 never passes motion_blur) — kernel width
+    # of the horizontal box blur, applied per-sample with probability
+    motion_blur: int = 0
+    motion_blur_prob: float = 1.0
     # pyrender (the reference renderer) culls backfaces by default, so
     # culling is the parity behavior; all meshes here (real MANO/YCB AND
     # the synthetic stand-ins) are consistently outward-wound. Measured
@@ -166,7 +175,9 @@ def make_synth_batch_fn(
         img, depth = render_scene(
             verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
             cull_backfaces=cfg.cull_backfaces,
-            incidence=None if scene_inc is None else scene_inc[oid])
+            incidence=None if scene_inc is None else scene_inc[oid],
+            motion_blur=cfg.motion_blur,
+            motion_blur_prob=cfg.motion_blur_prob)
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma
@@ -197,6 +208,24 @@ def make_synth_batch_fn(
 
         root_joint = joints_3d_r[:, cfg.center_idx]
 
+        # ---- MANO annotation parity with real batches (hodata.py:304-327)
+        # the synth sample carries the refined MANO pose re-expressed in
+        # the FINAL camera frame (cam_free roll + in-plane aug rotation
+        # folded into the global segment, exactly like real data folds its
+        # aug rotation) so mixed-batch key intersection keeps
+        # HAND_POSE/HAND_SHAPE instead of silently dropping real-data
+        # supervision (VERDICT r2 item 6)
+        rot_total = rot_mat @ gen.cam_free[idx]
+        hand_pose_final, _ = rotate_hand_global(
+            mano_model, rot_total, gen.hand_pose[idx], gen.hand_shape[idx],
+            gen.hand_tsl[idx] + gen.cam_offset[idx])
+
+        # object verts in camera space, root-relative (hodata.py:295-302)
+        overts_3d = (
+            jnp.einsum("bij,bnj->bni", obj_pose_r[:, :3, :3], obj_lib.verts[oid])
+            + obj_pose_r[:, None, :3, 3]
+        )
+
         return {
             Queries.IMAGE: img - 0.5,  # normalize mean .5, std 1
             Queries.CAM_INTR: new_intr,
@@ -211,9 +240,12 @@ def make_synth_batch_fn(
             Queries.OBJ_TRANSF: obj_pose_r,
             Queries.OBJ_IDX: oid + 1,  # YCB-style 1-based object index
             Queries.OBJ_VERTS_CAN: obj_lib.verts[oid],
+            Queries.OBJ_VERTS_3D: overts_3d - root_joint[:, None],
             Queries.PADDING_MASK: obj_lib.vert_valid[oid],
             Queries.SAMPLE_IDX: idx,
             Queries.HAND_VERTS_3D: hand_verts_r - root_joint[:, None],
+            Queries.HAND_POSE: hand_pose_final,
+            Queries.HAND_SHAPE: gen.hand_shape[idx],
             SynthQueries.IS_SYNTH: jnp.ones((B,), jnp.int32),
             SynthQueries.OBJ_ID: oid,
             SynthQueries.PERSP_ID: vid,

@@ -149,6 +149,11 @@ def make_fused_train_step(
         synth = synth_fn(key, gen, sidx)
         if not real_batch:
             return synth
+        # runs at trace time -> warns once per compiled key-set
+        from artiboost_tpu.utils.misc import warn_dropped_keys
+
+        warn_dropped_keys(real_batch.keys(), synth.keys(),
+                          "make_fused_train_step.assemble")
         keys = set(real_batch.keys()) & set(synth.keys())
         return {k: jnp.concatenate(
             [jnp.asarray(real_batch[k]), jnp.asarray(synth[k])], axis=0)

@@ -249,6 +249,57 @@ class TestArtiBoostLoader:
         # image actually contains rendered content (not all background)
         assert img.std() > 0.01
 
+    def test_synth_batch_mano_annotations(self, loader):
+        """Synth batches carry HAND_POSE/HAND_SHAPE/OBJ_VERTS_3D so the
+        mixed-batch key intersection stops dropping real-data supervision
+        (VERDICT r2 item 6). The emitted pose must be EXACT: MANO FK of it
+        reproduces the root-relative joints the batch supervises with."""
+        loader.prepare()
+        batch = next(iter(loader))
+        assert batch[Queries.HAND_POSE].shape == (8, 48)
+        assert batch[Queries.HAND_SHAPE].shape == (8, 10)
+
+        out = mano_forward(loader.mano_model, batch[Queries.HAND_POSE],
+                           batch[Queries.HAND_SHAPE])
+        fk_rel = np.asarray(out.joints - out.joints[:, :1])
+        targ_rel = np.asarray(batch[Queries.JOINTS_3D]
+                              - batch[Queries.JOINTS_3D][:, :1])
+        np.testing.assert_allclose(fk_rel, targ_rel, atol=2e-5)
+
+        # OBJ_VERTS_3D consistent with OBJ_TRANSF over OBJ_VERTS_CAN
+        tr = np.asarray(batch[Queries.OBJ_TRANSF])
+        can = np.asarray(batch[Queries.OBJ_VERTS_CAN])
+        root = np.asarray(batch[Queries.ROOT_JOINT])[:, None]
+        want = np.einsum("bij,bnj->bni", tr[:, :3, :3], can) + tr[:, None, :3, 3] - root
+        np.testing.assert_allclose(
+            np.asarray(batch[Queries.OBJ_VERTS_3D]), want, atol=1e-5)
+
+        # a mixed batch keeps the MANO/object supervision keys, and the
+        # Reg-model losses reading them stay finite + nonzero
+        real_like = {k: v for k, v in batch.items()}  # schema superset stand-in
+        keys = set(real_like) & set(batch)
+        for k in (Queries.HAND_POSE, Queries.HAND_SHAPE, Queries.OBJ_VERTS_3D,
+                  Queries.HAND_VERTS_3D):
+            assert k in keys
+        from artiboost_tpu.criterions.honetloss import ManoLoss, ObjLoss
+
+        preds = {
+            "mano_shape": batch[Queries.HAND_SHAPE] + 0.1,
+            "mano_pca_pose": batch[Queries.HAND_POSE] + 0.1,
+            "joints_3d_abs": batch[Queries.JOINTS_3D]
+            + batch[Queries.ROOT_JOINT][:, None] + 0.01,
+            "hand_verts_3d_abs": batch[Queries.HAND_VERTS_3D]
+            + batch[Queries.ROOT_JOINT][:, None] + 0.01,
+            "box_rot_rotmat": batch[Queries.OBJ_TRANSF][:, :3, :3],
+            "boxroot_3d_abs": batch[Queries.OBJ_TRANSF][:, :3, 3] + 0.01,
+        }
+        mano_loss, _ = ManoLoss(LAMBDA_JOINTS_3D=1.0, LAMBDA_HAND_VERTS_3D=1.0,
+                                LAMBDA_SHAPE_REG=1.0, LAMBDA_POSE_REG=1.0)(
+            preds, batch)
+        obj_loss, _ = ObjLoss(LAMBDA_OBJ_VERTS_3D=1.0)(preds, batch)
+        assert np.isfinite(float(mano_loss)) and float(mano_loss) > 0
+        assert np.isfinite(float(obj_loss)) and float(obj_loss) > 0
+
     def test_reweight_changes_map(self, loader):
         loader.prepare()
         val = jnp.full(loader.ccv.shape, 5.0).at[0, 0, 0].set(30.0)

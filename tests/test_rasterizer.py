@@ -236,3 +236,51 @@ class TestShading:
         ))
         # nearer vertex brighter; 1/d^2: d=1 vs d=2 -> 4x
         np.testing.assert_allclose(out[0] / out[1], 4.0, rtol=1e-3)
+
+
+class TestMotionBlur:
+    def test_kernel_is_horizontal_box(self):
+        """Impulse response = centered horizontal line of ones/k — the
+        reference's get_motion_blur_k (anakin/utils/renderer.py:32-37)."""
+        from artiboost_tpu.artiboost.renderer import _motion_blur_h
+
+        img = jnp.zeros((1, 9, 9, 3)).at[0, 4, 4].set(1.0)
+        out = np.asarray(_motion_blur_h(img, 5))
+        want = np.zeros((9, 9, 3), np.float32)
+        want[4, 2:7] = 1.0 / 5.0
+        np.testing.assert_allclose(out[0], want, atol=1e-6)
+        # rows above/below untouched (no vertical mixing)
+        assert np.all(out[0, 3] == 0) and np.all(out[0, 5] == 0)
+
+    def test_render_scene_gate(self, rng):
+        """motion_blur=0 (reference training default) is a no-op;
+        motion_blur=7 changes foreground pixels but composites the SAME
+        sharp background (blur runs pre-composite, renderer.py:113-116)."""
+        import jax
+
+        from artiboost_tpu.artiboost.renderer import render_scene
+
+        B, V = 2, 64
+        verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32) * 0.05)
+        verts = verts.at[..., 2].add(0.5)
+        faces = jnp.asarray(rng.randint(0, V, (B, 60, 3)).astype(np.int32))
+        colors = jnp.ones((B, V, 3)) * 0.8
+        fvalid = jnp.ones((B, 60))
+        intr = jnp.tile(jnp.asarray([[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1.0]]),
+                        (B, 1, 1))
+        bgs = jnp.asarray(rng.rand(2, 96, 96, 3).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        sharp, depth = render_scene(verts, colors, faces, fvalid, intr, bgs,
+                                    key, 64, 64, motion_blur=0)
+        same, _ = render_scene(verts, colors, faces, fvalid, intr, bgs,
+                               key, 64, 64)  # default off
+        np.testing.assert_allclose(np.asarray(sharp), np.asarray(same))
+        blurred, depth_b = render_scene(verts, colors, faces, fvalid, intr, bgs,
+                                        key, 64, 64, motion_blur=7)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_b))
+        fg = np.asarray(depth) > 0
+        assert fg.any()
+        ds, db = np.asarray(sharp), np.asarray(blurred)
+        # background pixels identical; some foreground pixels change
+        np.testing.assert_allclose(ds[~fg], db[~fg])
+        assert np.abs(ds[fg] - db[fg]).max() > 1e-4
