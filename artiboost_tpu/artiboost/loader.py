@@ -158,6 +158,9 @@ class ArtiBoostLoader:
             center_idx=int(data_preset.get("CENTER_IDX", 0)),
             bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
             cull_backfaces=bool(rend_cfg.get("CULL_BACKFACES", True)),
+            lod_faces=int(rend_cfg.get("LOD_FACES", -1)),
+            tile_px=rend_cfg.get("TILE_PX"),
+            sub_k=rend_cfg.get("SUB_K"),
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),
             motion_blur_prob=float(rend_cfg.get("MOTION_BLUR_PROB", 1.0)),
         )

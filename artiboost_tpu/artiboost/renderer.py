@@ -152,20 +152,18 @@ def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8,
     )
 
 
-def compose_scene(
-    hand_verts: jnp.ndarray,    # (B, 778, 3) camera space
-    hand_colors: jnp.ndarray,   # (B, 778, 3)
+def compose_scene_arrays(
+    hand_verts: jnp.ndarray,    # (B, Vh, 3) camera space
+    hand_colors: jnp.ndarray,   # (B, Vh, 3)
     hand_faces: jnp.ndarray,    # (Fh, 3)
-    obj_lib: ObjectLibrary,
-    obj_id: jnp.ndarray,        # (B,)
+    overts_can: jnp.ndarray,    # (B, Vo, 3)
+    ocolors: jnp.ndarray,       # (B, Vo, 3)
+    ofaces: jnp.ndarray,        # (B, Fo, 3)
+    ofvalid: jnp.ndarray,       # (B, Fo)
     obj_pose: jnp.ndarray,      # (B, 4, 4)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (verts (B, V, 3), colors (B, V, 3), faces (B, F, 3), face_valid)."""
     B = hand_verts.shape[0]
-    overts_can = obj_lib.verts[obj_id]
-    ocolors = obj_lib.colors[obj_id]
-    ofaces = obj_lib.faces[obj_id]
-    ofvalid = obj_lib.face_valid[obj_id]
     overts = (
         jnp.einsum("bij,bnj->bni", obj_pose[:, :3, :3], overts_can)
         + obj_pose[:, None, :3, 3]
@@ -179,6 +177,98 @@ def compose_scene(
     fvalid = jnp.concatenate(
         [jnp.ones((B, hand_faces.shape[0]), jnp.float32), ofvalid], axis=1)
     return verts, colors, faces, fvalid
+
+
+def compose_scene(
+    hand_verts: jnp.ndarray,    # (B, 778, 3) camera space
+    hand_colors: jnp.ndarray,   # (B, 778, 3)
+    hand_faces: jnp.ndarray,    # (Fh, 3)
+    obj_lib: ObjectLibrary,
+    obj_id: jnp.ndarray,        # (B,)
+    obj_pose: jnp.ndarray,      # (B, 4, 4)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-resolution scene composition (see compose_scene_arrays)."""
+    return compose_scene_arrays(
+        hand_verts, hand_colors, hand_faces,
+        obj_lib.verts[obj_id], obj_lib.colors[obj_id],
+        obj_lib.faces[obj_id], obj_lib.face_valid[obj_id], obj_pose)
+
+
+class SceneLOD(NamedTuple):
+    """Render-only decimated geometry (supervision tensors stay full-res).
+
+    Built once at asset-load time (``build_scene_lod``); the synth
+    pipeline gathers hand LOD verts straight out of the MANO FK output
+    (``decimate_topology`` representatives) and uses cluster-mean object
+    meshes. Rationale + quality bounds: ops/decimate.py docstring."""
+
+    hand_rep: jnp.ndarray        # (Vh',) int32 into the 778 MANO verts
+    hand_faces: jnp.ndarray      # (Fh', 3) int32 in rep space
+    hand_bank: jnp.ndarray       # (n_tex, Vh', 3) LOD hand color bank
+    obj_verts: jnp.ndarray       # (n_obj, VL, 3) canonical, padded
+    obj_colors: jnp.ndarray      # (n_obj, VL, 3)
+    obj_faces: jnp.ndarray       # (n_obj, FL, 3) int32, padded
+    obj_face_valid: jnp.ndarray  # (n_obj, FL)
+    incidence: Optional[jnp.ndarray]  # (n_obj, Vh'+VL, D) normal tables
+
+
+def build_scene_lod(
+    hand_template: np.ndarray,   # (778, 3) MANO rest verts
+    hand_faces: np.ndarray,      # (Fh, 3)
+    hand_color_bank: jnp.ndarray,  # (n_tex, 778, 3)
+    obj_lib: ObjectLibrary,
+    target_faces: int,
+) -> SceneLOD:
+    """Decimate hand + every object to <= target_faces each (host)."""
+    from artiboost_tpu.ops.decimate import decimate_mesh, decimate_topology
+
+    rep, hf = decimate_topology(np.asarray(hand_template),
+                                np.asarray(hand_faces), target_faces)
+    bank = jnp.asarray(np.asarray(hand_color_bank)[:, rep])
+
+    meshes = []
+    for o in range(obj_lib.n_obj):
+        fv = np.asarray(obj_lib.face_valid[o]) > 0
+        vv = int(obj_lib.n_verts[o])
+        v, f, c = decimate_mesh(
+            np.asarray(obj_lib.verts[o])[:vv],
+            np.asarray(obj_lib.faces[o])[fv],
+            target_faces,
+            np.asarray(obj_lib.colors[o])[:vv])
+        meshes.append((v, f, c))
+    VL = max(m[0].shape[0] for m in meshes)
+    FL = max(m[1].shape[0] for m in meshes)
+    n = len(meshes)
+    overts = np.zeros((n, VL, 3), np.float32)
+    ocol = np.full((n, VL, 3), 0.6, np.float32)
+    ofaces = np.zeros((n, FL, 3), np.int32)
+    ofval = np.zeros((n, FL), np.float32)
+    for o, (v, f, c) in enumerate(meshes):
+        overts[o, :v.shape[0]] = v
+        if c is not None:
+            ocol[o, :v.shape[0]] = c
+        ofaces[o, :f.shape[0]] = f
+        ofval[o, :f.shape[0]] = 1.0
+
+    # gather-only vertex-normal tables over the LOD topology
+    n_hand = rep.shape[0]
+    tables = []
+    for o in range(n):
+        faces = np.concatenate([hf, ofaces[o] + n_hand], axis=0)
+        tables.append(build_face_incidence(faces, n_hand + VL))
+    D = max(t.shape[1] for t in tables)
+    F_tot = hf.shape[0] + FL
+    inc = None
+    if D <= 64:
+        inc = jnp.asarray(np.stack([
+            np.pad(t, ((0, 0), (0, D - t.shape[1])), constant_values=F_tot)
+            for t in tables]))
+    return SceneLOD(
+        hand_rep=jnp.asarray(rep), hand_faces=jnp.asarray(hf), hand_bank=bank,
+        obj_verts=jnp.asarray(overts), obj_colors=jnp.asarray(ocol),
+        obj_faces=jnp.asarray(ofaces), obj_face_valid=jnp.asarray(ofval),
+        incidence=inc,
+    )
 
 
 def build_scene_incidence(hand_faces, obj_lib: ObjectLibrary,
@@ -261,6 +351,8 @@ def render_scene(
     motion_blur: int = 0,          # horizontal box-blur width; 0 = off
                                    # (the reference default, renderer.py:101)
     motion_blur_prob: float = 1.0,
+    tile_px: Optional[int] = None,  # kernel tile shape overrides (probes;
+    sub_k: Optional[int] = None,    # None = measured per-resolution auto)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -283,7 +375,8 @@ def render_scene(
         lambda v, K: project_verts(v, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
     )(verts, intr)
     rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width,
-                                        cull_backfaces=cull_backfaces)
+                                        cull_backfaces=cull_backfaces,
+                                        tile_px=tile_px, sub_k=sub_k)
 
     # motion blur runs on the raw render BEFORE bg compositing, exactly
     # like the reference (renderer.py:113-116: filter2D on color, then

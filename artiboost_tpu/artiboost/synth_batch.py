@@ -13,6 +13,7 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from artiboost_tpu.artiboost.object_library import ObjectLibrary
 from artiboost_tpu.artiboost.pose_generator import (
@@ -25,7 +26,9 @@ from artiboost_tpu.artiboost.renderer import (
     _color_jitter,
     _gaussian_blur,
     build_scene_incidence,
+    build_scene_lod,
     compose_scene,
+    compose_scene_arrays,
     render_scene,
 )
 from artiboost_tpu.datasets.hoquery import Queries, SynthQueries
@@ -60,6 +63,16 @@ class SynthConfig(NamedTuple):
     # +7.7% synth throughput (script/probe_cull.py) — the raster is
     # per-tile-overhead-bound, so halving faces buys less than 2x
     cull_backfaces: bool = True
+    # render LOD: per-component face budget for the decimated RENDER
+    # geometry (supervision tensors stay full-res). -1 = auto (512 faces
+    # per component at <=256px render-at-crop, off above — mesh detail
+    # is sub-pixel at a 224x224 crop, ops/decimate.py), 0 = off, >0
+    # explicit budget.
+    lod_faces: int = -1
+    # rasterizer tile-shape overrides (None = per-resolution auto; the
+    # LOD default below is from the on-chip sweep in script/probe_lod.py)
+    tile_px: int = None
+    sub_k: int = None
 
 
 def _annot_center_scale(pts2d: jnp.ndarray):
@@ -85,19 +98,38 @@ def make_synth_batch_fn(
         [0.0, cfg.fy, cfg.cy],
         [0.0, 0.0, 1.0],
     ])
+    # render LOD (VERDICT r2 item 1): decimate render-only geometry once
+    # at build time; -1 = auto by crop resolution
+    lod_faces = cfg.lod_faces
+    if lod_faces < 0:
+        lod_faces = 512 if cfg.image_size <= 256 else 0
+    lod = None
+    if lod_faces > 0:
+        lod = build_scene_lod(
+            np.asarray(mano_model.v_template), np.asarray(assets.hand_faces),
+            assets.hand_color_bank, obj_lib, lod_faces)
+        from artiboost_tpu.utils.logger import logger
+
+        logger.info(
+            f"render LOD: hand {assets.hand_faces.shape[0]} -> "
+            f"{lod.hand_faces.shape[0]} faces, objects "
+            f"{obj_lib.f_max} -> {lod.obj_faces.shape[1]} (budget {lod_faces})")
+
     # per-object incidence tables (host precompute): gather-only vertex
     # normals inside the render. A pathological mesh (high-valence hub
     # vertex) would blow the fixed degree up and make the gather slower
     # than the scatter it replaces — fall back in that case.
-    scene_inc = build_scene_incidence(assets.hand_faces, obj_lib,
-                                      n_hand=778)
-    if scene_inc.shape[2] > 64:
-        from artiboost_tpu.utils.logger import logger
+    scene_inc = None
+    if lod is None:
+        scene_inc = build_scene_incidence(assets.hand_faces, obj_lib,
+                                          n_hand=778)
+        if scene_inc.shape[2] > 64:
+            from artiboost_tpu.utils.logger import logger
 
-        logger.warning(
-            f"scene max vertex degree {scene_inc.shape[2]} > 64: using "
-            "scatter-add vertex normals (gather table would be oversized)")
-        scene_inc = None
+            logger.warning(
+                f"scene max vertex degree {scene_inc.shape[2]} > 64: using "
+                "scatter-add vertex normals (gather table would be oversized)")
+            scene_inc = None
 
     def synth_batch(key: jax.Array, gen: GeneratedPoses, idx: jnp.ndarray) -> Dict:
         B = idx.shape[0]
@@ -169,15 +201,26 @@ def make_synth_batch_fn(
         obj_pose_r = obj_pose.at[:, :3].set(rot_mat @ obj_pose[:, :3])
 
         tex_id = jax.random.randint(keys[3], (B,), 0, assets.hand_color_bank.shape[0])
-        hand_colors = assets.hand_color_bank[tex_id]
-        verts, colors, faces, fvalid = compose_scene(
-            hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid, obj_pose_r)
+        if lod is not None:
+            # render-only decimated geometry; supervision stays full-res
+            verts, colors, faces, fvalid = compose_scene_arrays(
+                hand_verts_r[:, lod.hand_rep], lod.hand_bank[tex_id],
+                lod.hand_faces, lod.obj_verts[oid], lod.obj_colors[oid],
+                lod.obj_faces[oid], lod.obj_face_valid[oid], obj_pose_r)
+            inc = None if lod.incidence is None else lod.incidence[oid]
+        else:
+            hand_colors = assets.hand_color_bank[tex_id]
+            verts, colors, faces, fvalid = compose_scene(
+                hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid,
+                obj_pose_r)
+            inc = None if scene_inc is None else scene_inc[oid]
         img, depth = render_scene(
             verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
             cull_backfaces=cfg.cull_backfaces,
-            incidence=None if scene_inc is None else scene_inc[oid],
+            incidence=inc,
             motion_blur=cfg.motion_blur,
-            motion_blur_prob=cfg.motion_blur_prob)
+            motion_blur_prob=cfg.motion_blur_prob,
+            tile_px=cfg.tile_px, sub_k=cfg.sub_k)
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma

@@ -78,6 +78,7 @@ def main():
     img_per_sec = BATCH / per_step
 
     mixed = bench_mixed_train(cfg)
+    synth = bench_synth(cfg)
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip",
         "value": round(img_per_sec, 1),
@@ -86,6 +87,9 @@ def main():
         # the number that bounds training: fused step with the synthetic
         # half-batch RENDERED INSIDE the train program (60% synth factor)
         "mixed_train_img_per_sec": mixed,
+        # synth-pipeline split at B=128 @224^2 (raster share tracks the
+        # render-LOD work, VERDICT r2 items 1+10)
+        **synth,
     }))
 
 
@@ -144,6 +148,62 @@ def bench_mixed_train(cfg, B=128, synth_frac=0.6, k_reps=5):
         float(losses["final_loss"])  # fetch forces the lazy tunnel
     dt = (time.time() - t0) / k_reps - 0.028
     return round(B / dt, 1)
+
+
+def bench_synth(cfg, B=128, k_reps=5):
+    """Synth pipeline ms/batch + the rasterizer's share of it, measured by
+    differencing against a stubbed (zero-output) raster kernel traced into
+    an otherwise identical pipeline."""
+    from artiboost_tpu.artiboost import renderer as renderer_mod
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+
+    manager_cfg = dict(cfg["MANAGER"])
+    manager_cfg["DATA_PRESET"] = cfg.get("DATA_PRESET", {})
+    manager_cfg["CONFIG_LEN_TRAIN"] = 256
+    manager_cfg["OPG_BATCH_SIZE"] = 256
+
+    def timed(fn, gen):
+        key = jax.random.PRNGKey(1)
+        idx0 = jnp.arange(B, dtype=jnp.int32)
+        out = fn(key, gen, idx0)
+        float(jnp.ravel(out[Queries.IMAGE])[0])  # compile + force
+        argsets = [(idx0 + 3 * r) % 256 for r in range(k_reps)]
+        for a in argsets:
+            float(jnp.ravel(a)[0])
+        t0 = time.time()
+        for a in argsets:
+            out = fn(key, gen, a)
+            float(jnp.ravel(out[Queries.IMAGE])[0])
+        return (time.time() - t0) / k_reps - 0.028
+
+    loader = ArtiBoostLoader(real_dataset=None, cfg=manager_cfg, batch_size=B)
+    loader.prepare()
+    t_full = timed(jax.jit(loader.synth_batch_fn), loader.generated)
+
+    orig = renderer_mod.rasterize_batch_pallas
+
+    def stub(vs, attrs, faces, fv, h, w, **kw):
+        # depends on the real inputs so XLA cannot dead-code-eliminate the
+        # scene prep (compose/normals/shading/projection) feeding it
+        bias = (jnp.mean(vs) + jnp.mean(attrs)) * 1e-20
+        return (jnp.zeros(vs.shape[:1] + (h, w, 3), jnp.float32) + bias,
+                jnp.zeros(vs.shape[:1] + (h, w), jnp.float32) + bias)
+
+    renderer_mod.rasterize_batch_pallas = stub
+    try:
+        loader2 = ArtiBoostLoader(real_dataset=None, cfg=manager_cfg,
+                                  batch_size=B)
+        loader2.prepare()
+        t_stub = timed(jax.jit(loader2.synth_batch_fn), loader2.generated)
+    finally:
+        renderer_mod.rasterize_batch_pallas = orig
+    raster_ms = max((t_full - t_stub) * 1e3, 0.0)
+    return {
+        "synth_ms_per_batch": round(t_full * 1e3, 1),
+        "synth_img_per_sec": round(B / t_full, 1),
+        "raster_ms_per_batch": round(raster_ms, 1),
+        "raster_share": round(raster_ms / (t_full * 1e3), 3),
+    }
 
 
 if __name__ == "__main__":
