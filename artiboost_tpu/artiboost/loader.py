@@ -159,6 +159,8 @@ class ArtiBoostLoader:
             bbox_expand_ratio=float(data_preset.get("BBOX_EXPAND_RATIO", 1.2)),
             cull_backfaces=bool(rend_cfg.get("CULL_BACKFACES", True)),
             lod_faces=int(rend_cfg.get("LOD_FACES", -1)),
+            textured=bool(rend_cfg.get("TEXTURED", True)),
+            bilinear=bool(rend_cfg.get("BILINEAR", False)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),

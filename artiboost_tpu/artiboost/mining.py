@@ -66,9 +66,16 @@ def update_method_4(weight_map, val_map, seen, lower, upper,
     )
 
 
+def update_uniform(weight_map, val_map, seen, lower, upper, **kw) -> Dict:
+    """No-mining baseline: weights untouched (the control arm of the
+    mining A/B in script/mining_ab.py — uniform CCV sampling)."""
+    return {"sample_weight_map": weight_map}
+
+
 UPDATE_METHODS = {
     "method_1": update_method_1,
     "method_2": update_method_2,
     "method_3": update_method_3,
     "method_4": update_method_4,
+    "uniform": update_uniform,
 }

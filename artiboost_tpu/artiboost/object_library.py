@@ -31,6 +31,11 @@ class ObjectLibrary(NamedTuple):
     colors: jnp.ndarray           # (n_obj, V_MAX, 3) vertex albedo
     corners_can: jnp.ndarray      # (n_obj, 8, 3)
     n_verts: jnp.ndarray          # (n_obj,) int32
+    # per-pixel texturing (None when no source mesh carries a texture):
+    # per-vertex UVs + per-object texture images for the UV render path
+    # (reference samples textures per-fragment in GL, renderer.py:52-55)
+    uvs: Optional[jnp.ndarray] = None       # (n_obj, V_MAX, 2) in [0, 1]
+    textures: Optional[jnp.ndarray] = None  # (n_obj, T, T, 3) in [0, 1]
 
     @property
     def n_obj(self) -> int:
@@ -63,14 +68,16 @@ def _find_texture(obj_path: str, mtllib: Optional[str]) -> Optional[str]:
     return None
 
 
-def load_obj_file(path: str):
-    """Minimal wavefront OBJ loader -> (verts (V,3), faces (F,3), colors).
+def load_obj_file(path: str, with_uv: bool = False):
+    """Minimal wavefront OBJ loader -> (verts (V,3), faces (F,3), colors)
+    or, with ``with_uv``, (verts, faces, colors, uv (V,2)|None, tex|None).
 
     Colors come from appended per-vertex colors when present, otherwise
     from baking the UV texture (mtllib map_Kd or a sibling texture file,
-    YCB-style) at each vertex's first UV — the Gouraud rasterizer
-    interpolates vertex colors, so the texture fetch happens once at load
-    (mirrors what the reference's GL renderer samples per fragment)."""
+    YCB-style) at each vertex's first UV. The baked colors feed the
+    Gouraud fallback; the UV render path samples the returned texture
+    per pixel instead (parity with the reference's per-fragment GL
+    sampling)."""
     verts, faces, colors, uvs = [], [], [], []
     v_uv, mtllib = {}, None
     with open(path) as f:
@@ -100,25 +107,42 @@ def load_obj_file(path: str):
     faces = np.asarray(faces, np.int32)
     colors = np.asarray(colors, np.float32) if colors else None
 
-    if colors is None and uvs and v_uv:
+    tex = None
+    uv_arr = None
+    if uvs and v_uv:
         tex_path = _find_texture(path, mtllib)
         if tex_path:
             from PIL import Image
 
             tex = np.asarray(Image.open(tex_path).convert("RGB"), np.float32) / 255.0
             H, W = tex.shape[:2]
-            colors = np.full((len(verts), 3), 0.6, np.float32)
+            uv_arr = np.zeros((len(verts), 2), np.float32)
+            baked = np.full((len(verts), 3), 0.6, np.float32)
             for vi, ti in v_uv.items():
                 if vi < len(verts) and ti < len(uvs):
                     u, w = uvs[ti]
+                    uv_arr[vi] = (u, w)
                     px = min(int(u * (W - 1)), W - 1)
                     py = min(int((1.0 - w) * (H - 1)), H - 1)
-                    colors[vi] = tex[py, px]
+                    baked[vi] = tex[py, px]
+            if colors is None:
+                colors = baked
+    if with_uv:
+        return verts, faces, colors, uv_arr, tex
     return verts, faces, colors
 
 
+def _resize_tex(tex: np.ndarray, T: int) -> np.ndarray:
+    if tex.shape[0] == T and tex.shape[1] == T:
+        return tex.astype(np.float32)
+    from PIL import Image
+
+    im = Image.fromarray((np.clip(tex, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(im.resize((T, T), Image.BILINEAR), np.float32) / 255.0
+
+
 def _pack(meshes: List[dict], names: List[str], v_max: Optional[int] = None,
-          f_max: Optional[int] = None) -> ObjectLibrary:
+          f_max: Optional[int] = None, tex_size: int = 256) -> ObjectLibrary:
     n = len(meshes)
     v_max = v_max or max(m["verts"].shape[0] for m in meshes)
     f_max = f_max or max(m["faces"].shape[0] for m in meshes)
@@ -129,6 +153,10 @@ def _pack(meshes: List[dict], names: List[str], v_max: Optional[int] = None,
     colors = np.full((n, v_max, 3), 0.6, np.float32)
     corners = np.zeros((n, 8, 3), np.float32)
     nv = np.zeros((n,), np.int32)
+    any_tex = any(m.get("tex") is not None for m in meshes)
+    uvs = np.zeros((n, v_max, 2), np.float32) if any_tex else None
+    texs = (np.full((n, tex_size, tex_size, 3), 0.6, np.float32)
+            if any_tex else None)
     for i, m in enumerate(meshes):
         mv, mf = m["verts"], m["faces"]
         if mv.shape[0] > v_max:  # truncate oversize meshes; drop dangling faces
@@ -144,12 +172,23 @@ def _pack(meshes: List[dict], names: List[str], v_max: Optional[int] = None,
             colors[i, :V] = m["colors"][:V]
         corners[i] = m["corners"]
         nv[i] = V
+        if any_tex:
+            if m.get("uv") is not None:
+                uvs[i, :V] = m["uv"][:V]
+            if m.get("tex") is not None:
+                texs[i] = _resize_tex(m["tex"], tex_size)
+            elif m.get("colors") is not None:
+                # untextured mesh in a textured library: constant texture
+                # at the mesh's mean albedo, any UV samples it
+                texs[i] = m["colors"][:V].mean(0)
     return ObjectLibrary(
         names=tuple(names),
         verts=jnp.asarray(verts), vert_valid=jnp.asarray(vval),
         faces=jnp.asarray(faces), face_valid=jnp.asarray(fval),
         colors=jnp.asarray(colors), corners_can=jnp.asarray(corners),
         n_verts=jnp.asarray(nv),
+        uvs=None if uvs is None else jnp.asarray(uvs),
+        textures=None if texs is None else jnp.asarray(texs),
     )
 
 
@@ -174,7 +213,7 @@ def load_object_library(
     meshes = []
     for name in query_obj:
         path = os.path.join(obj_root, name, mesh_name)
-        verts, faces, colors = load_obj_file(path)
+        verts, faces, colors, uv, tex = load_obj_file(path, with_uv=True)
         if dataset_type == "HO3D":
             verts = verts @ _HO3D_CAM_EXTR.T
         verts, _, _ = center_vert_bbox(verts, scale=False)
@@ -186,9 +225,11 @@ def load_object_library(
             faces = remap[nearest[faces]]
             verts = verts[keep]
             colors = colors[keep] if colors is not None else None
+            uv = uv[keep] if uv is not None else None
             faces = faces[(faces >= 0).all(1) & (faces.max(1) != faces.min(1))]
         meshes.append({
             "verts": verts, "faces": faces, "colors": colors,
+            "uv": uv, "tex": tex,
             "corners": _bbox_corners(verts),
         })
     return _pack(meshes, query_obj)
@@ -206,7 +247,7 @@ def synthetic_object_library(
         size = 0.05 + 0.03 * rng.rand(3)
         if kind == 0:  # box: grid on each face
             n_side = 8
-            vs, fs = [], []
+            vs, fs, uv = [], [], []
             grid = np.linspace(-0.5, 0.5, n_side)
             for axis in range(3):
                 for sgn in (-1.0, 1.0):
@@ -218,6 +259,7 @@ def synthetic_object_library(
                             p[(axis + 1) % 3] = a
                             p[(axis + 2) % 3] = b
                             vs.append(p)
+                            uv.append([a + 0.5, b + 0.5])
                     for r in range(n_side - 1):
                         for c in range(n_side - 1):
                             p0 = base + r * n_side + c
@@ -225,14 +267,16 @@ def synthetic_object_library(
                             fs.append([p0 + 1, p0 + n_side + 1, p0 + n_side])
             verts = np.asarray(vs, np.float32) * size * 2
             faces = np.asarray(fs, np.int32)
+            uvs = np.asarray(uv, np.float32)
         else:  # cylinder (closed: side tube + two cap fans)
             n_seg, n_h = 24, 10
-            vs, fs = [], []
+            vs, fs, uv = [], [], []
             for hi in range(n_h):
                 z = (hi / (n_h - 1) - 0.5) * size[2] * 2
                 for si in range(n_seg):
                     a = 2 * np.pi * si / n_seg
                     vs.append([size[0] * np.cos(a), size[1] * np.sin(a), z])
+                    uv.append([si / n_seg, hi / (n_h - 1)])
             for hi in range(n_h - 1):
                 for si in range(n_seg):
                     p0 = hi * n_seg + si
@@ -241,13 +285,16 @@ def synthetic_object_library(
                     fs.append([p1, p1 + n_seg, p0 + n_seg])
             c_bot, c_top = len(vs), len(vs) + 1
             vs.append([0.0, 0.0, -size[2]])
+            uv.append([0.5, 0.0])
             vs.append([0.0, 0.0, size[2]])
+            uv.append([0.5, 1.0])
             top = (n_h - 1) * n_seg
             for si in range(n_seg):
                 fs.append([c_bot, (si + 1) % n_seg, si])
                 fs.append([c_top, top + si, top + (si + 1) % n_seg])
             verts = np.asarray(vs, np.float32)
             faces = np.asarray(fs, np.int32)
+            uvs = np.asarray(uv, np.float32)
         verts, _, _ = center_vert_bbox(verts, scale=False)
         # orient every face outward (consistent winding, like real YCB
         # meshes) so the rasterizer's backface culling is valid on the
@@ -257,12 +304,23 @@ def synthetic_object_library(
         normal = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
         flip = (normal * fv.mean(1)).sum(-1) < 0
         faces[flip] = faces[flip][:, ::-1]
-        color = np.tile(rng.rand(3).astype(np.float32) * 0.6 + 0.2, (verts.shape[0], 1))
+        base = rng.rand(3).astype(np.float32) * 0.6 + 0.2
+        color = np.tile(base, (verts.shape[0], 1))
+        # procedural texture (checker + stripes + noise around the base
+        # color) so the per-pixel UV path is exercised without assets
+        T = 128
+        ty, tx = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+        checker = (((tx // 16) + (ty // 16)) % 2).astype(np.float32)
+        stripes = 0.5 + 0.5 * np.sin(2 * np.pi * tx / 32.0 + i)
+        noise = rng.rand(T, T).astype(np.float32)
+        mod = (0.75 + 0.35 * checker * 0.5 + 0.15 * stripes + 0.1 * noise)
+        tex = np.clip(base[None, None] * mod[..., None], 0.0, 1.0)
         meshes.append({
             "verts": verts, "faces": faces, "colors": color,
+            "uv": uvs, "tex": tex.astype(np.float32),
             "corners": _bbox_corners(verts),
         })
-    return _pack(meshes, query_obj, v_max=v_max, f_max=f_max)
+    return _pack(meshes, query_obj, v_max=v_max, f_max=f_max, tex_size=128)
 
 
 def get_object_library(query_obj: List[str], dataset_type: str = "HO3D",

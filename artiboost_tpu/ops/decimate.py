@@ -87,9 +87,10 @@ def decimate_mesh(
     verts: np.ndarray,           # (V, 3)
     faces: np.ndarray,           # (F, 3) int
     target_faces: int,
-    colors: Optional[np.ndarray] = None,  # (V, 3)
+    colors: Optional[np.ndarray] = None,  # (V, K) any per-vertex attrs
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """-> (verts' (V', 3) cluster means, faces' (F'<=target, 3), colors')."""
+    """-> (verts' (V', 3) cluster means, faces' (F'<=target, 3), colors'
+    (V', K) cluster-mean attributes)."""
     if faces.shape[0] <= target_faces:
         return verts, faces, colors
     g = _search_grid(verts, faces, target_faces)
@@ -100,7 +101,7 @@ def decimate_mesh(
     nv /= np.maximum(cnt, 1.0)
     nc = None
     if colors is not None:
-        nc = np.zeros((n, 3), np.float32)
+        nc = np.zeros((n, colors.shape[1]), np.float32)
         np.add.at(nc, inv, colors.astype(np.float32))
         nc /= np.maximum(cnt, 1.0)
     return nv, nf.astype(np.int32), nc

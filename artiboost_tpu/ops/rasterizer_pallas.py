@@ -98,10 +98,24 @@ def _pack_faces(sf, n_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
             col.reshape(shape).transpose(0, 2, 1))
 
 
-def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int):
+def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int,
+               uv_mode: bool = False):
     """Shared two-pass tile body: depth + winner id, then deferred shading.
     ``geom_at(c)``/``col_at(c)`` load chunk c's (16, LANE) plane rows.
-    Returns (r8, g8, b8, depth), each (TP, 1)."""
+
+    Gouraud mode (default): the three color channels quantize to 8 bits
+    each and pack into ONE f32 so the winner-select costs one cross-lane
+    reduction; returns (r8, g8, b8, depth), each (TP, 1).
+
+    UV mode (per-pixel texturing, VERDICT r2 item 2): the interpolated
+    channels are (u, v, shade) instead of rgb. u and v quantize to 12
+    bits each (4096 texel positions — 8 bits would band visibly) which
+    fills the f32 mantissa, so shade rides a SECOND 16-bit-packed
+    reduction (range [0, 4] — clamping shade at 1 before the texture
+    multiply would kill highlights on dark texels; GL clamps after).
+    Returns (uv_packed, shade, win_face_f32, depth): the texture gather
+    happens OUTSIDE the kernel in XLA (TPU has no per-lane vector gather
+    worth using here), keyed by the winning face id -> texture page."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
     # ---- pass 1: depth + winner id ----
@@ -142,6 +156,25 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int):
     lo = jnp.maximum(c_start, minc)
     hi = jnp.minimum(c_end, maxc + 1)
 
+    if uv_mode:
+        def uv_body(c, acc):
+            fc = col_at(c)  # (16, LANE)
+            sel = ((gidx - c * LANE) == lane).astype(jnp.float32)  # (TP, LANE)
+            u = x * fc[0:1, :] + y * fc[3:4, :] + fc[6:7, :]
+            v = x * fc[1:2, :] + y * fc[4:5, :] + fc[7:8, :]
+            s = x * fc[2:3, :] + y * fc[5:6, :] + fc[8:9, :]
+            quv = (jnp.floor(jnp.clip(u * depth, 0.0, 1.0) * 4095.0 + 0.5) * 4096.0
+                   + jnp.floor(jnp.clip(v * depth, 0.0, 1.0) * 4095.0 + 0.5))
+            qs = jnp.floor(jnp.clip(s * depth * 0.25, 0.0, 1.0) * 65535.0 + 0.5)
+            return (acc[0] + jnp.sum(sel * quv, axis=1, keepdims=True),
+                    acc[1] + jnp.sum(sel * qs, axis=1, keepdims=True))
+
+        quv, qs = jax.lax.fori_loop(
+            lo, hi, uv_body, (jnp.zeros((tile_px, 1), jnp.float32),
+                              jnp.zeros((tile_px, 1), jnp.float32)))
+        shade = qs * (4.0 / 65535.0)
+        return quv, shade, gidx.astype(jnp.float32), depth
+
     def color_body(c, acc):
         fc = col_at(c)  # (16, LANE)
         sel = ((gidx - c * LANE) == lane).astype(jnp.float32)  # (TP, LANE)
@@ -164,7 +197,8 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int):
 
 
 def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
-                   tile_px: int, n_tiles: int, sub_k: int):
+                   tile_px: int, n_tiles: int, sub_k: int,
+                   uv_mode: bool = False):
     """One grid step rasterizes ``sub_k`` consecutive tiles (statically
     unrolled): the fixed per-grid-step cost (~12 us measured — Mosaic
     step machinery + output DMA turnaround) dominates the raster at
@@ -184,14 +218,20 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
         # dims to the lane width, so a (B, T, 2) layout would blow the
         # 1MB SMEM budget
         rbase = (b * n_tiles + t) * 2
-        r8, g8, b8, depth = _tile_core(
+        c0, c1, c2, depth = _tile_core(
             x, y, lambda c: packed_ref[0, c], lambda c: colors_ref[0, c],
-            ranges_ref[rbase], ranges_ref[rbase + 1], tile_px)
+            ranges_ref[rbase], ranges_ref[rbase + 1], tile_px,
+            uv_mode=uv_mode)
 
         lo = j * tile_px
-        out_ref[0, 0, lo:lo + tile_px, 0:1] = r8 * (1.0 / 255.0)
-        out_ref[0, 0, lo:lo + tile_px, 1:2] = g8 * (1.0 / 255.0)
-        out_ref[0, 0, lo:lo + tile_px, 2:3] = b8 * (1.0 / 255.0)
+        if uv_mode:  # (uv_packed, shade, win_face, depth) raw
+            out_ref[0, 0, lo:lo + tile_px, 0:1] = c0
+            out_ref[0, 0, lo:lo + tile_px, 1:2] = c1
+            out_ref[0, 0, lo:lo + tile_px, 2:3] = c2
+        else:
+            out_ref[0, 0, lo:lo + tile_px, 0:1] = c0 * (1.0 / 255.0)
+            out_ref[0, 0, lo:lo + tile_px, 1:2] = c1 * (1.0 / 255.0)
+            out_ref[0, 0, lo:lo + tile_px, 2:3] = c2 * (1.0 / 255.0)
         out_ref[0, 0, lo:lo + tile_px, 3:4] = depth
 
 
@@ -220,7 +260,7 @@ def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
                                    "cull_backfaces", "xbin_w", "tile_rows",
-                                   "sub_k"))
+                                   "sub_k", "uv_mode"))
 def rasterize_batch_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3)
     vert_attrs: jnp.ndarray,    # (B, V, 3) rgb
@@ -233,8 +273,14 @@ def rasterize_batch_pallas(
     xbin_w: Optional[int] = None,
     tile_rows: int = 8,
     sub_k: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    uv_mode: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background.
+
+    ``uv_mode``: vert_attrs are (u, v, shade) instead of rgb; returns
+    (uv_packed (B, H, W) — u12*4096+v12, shade (B, H, W) in [0, 4],
+    win_face (B, H, W) int32, depth). The caller gathers texels in XLA
+    (see renderer.sample_textures). Not supported on the binned path.
 
     ``xbin_w``: enable 2D x-binning — faces are duplicated into
     ``ceil(width / xbin_w)`` x-bands (per-band validity + per-band y-sort)
@@ -257,6 +303,7 @@ def rasterize_batch_pallas(
     )(verts_screen, vert_attrs, faces, face_valid)
 
     if xbin_w is not None and width > xbin_w:
+        assert not uv_mode, "uv_mode is not supported on the binned path"
         return _rasterize_binned(sf, B, F, n_chunks, height, width,
                                  xbin_w, tile_rows)
 
@@ -320,7 +367,7 @@ def rasterize_batch_pallas(
     )
     out = pl.pallas_call(
         partial(_raster_kernel, width=width, tile_px=tile_px, n_tiles=n_tiles,
-                sub_k=sub_k),
+                sub_k=sub_k, uv_mode=uv_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_super, sub_k * tile_px, 4),
                                        jnp.float32),
@@ -329,6 +376,13 @@ def rasterize_batch_pallas(
 
     flat = out.reshape(B, n_tiles * tile_px, 4)[:, :n_pix]
     img = flat.reshape(B, height, width, 4)
+    if uv_mode:
+        # win_face is an index into the Y-SORTED face order; map it back
+        # to the caller's face ids through the sort permutation
+        win_sorted = jnp.clip(img[..., 2].astype(jnp.int32), 0, F - 1)
+        win = jnp.take_along_axis(
+            order, win_sorted.reshape(B, -1), axis=1).reshape(win_sorted.shape)
+        return img[..., 0], img[..., 1], win, img[..., 3]
     return img[..., :3], img[..., 3]
 
 

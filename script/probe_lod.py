@@ -72,7 +72,7 @@ def main():
                       "img_per_sec": round(B / t0, 1)}))
 
     results = []
-    for lod in (768, 512, 384, 256):
+    for lod in (512, 256):
         for tile_px, sub_k in ((None, None), (1024, None), (2048, None),
                                (512, 4), (1024, 2)):
             loader = make_loader(lod, tile_px, sub_k)

@@ -39,12 +39,20 @@ def main():
     parser.add_argument("--n_samples", type=int, default=16)
     parser.add_argument("--out", type=str, default="exp/viz_synth")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--flat", action="store_true",
+                        help="Gouraud vertex colors instead of the default "
+                             "per-pixel texture sampling (HTML-hand / YCB "
+                             "textures when on disk, procedural stand-ins "
+                             "otherwise)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
     manager_cfg = dict(cfg["MANAGER"])
     manager_cfg["DATA_PRESET"] = cfg.get("DATA_PRESET", {})
     manager_cfg["CONFIG_LEN_TRAIN"] = max(args.n_samples, 8)
+    if args.flat:
+        manager_cfg.setdefault("RENDERER", {})
+        manager_cfg["RENDERER"] = dict(manager_cfg["RENDERER"], TEXTURED=False)
 
     loader = ArtiBoostLoader(
         real_dataset=None, cfg=manager_cfg,

@@ -152,15 +152,17 @@ class TestSceneLODRender:
                                    SynthConfig(lod_faces=0, **cfg))
         lod = make_synth_batch_fn(mano, obj_lib, assets,
                                   SynthConfig(lod_faces=512, **cfg))
+        lod256 = make_synth_batch_fn(mano, obj_lib, assets,
+                                     SynthConfig(lod_faces=256, **cfg))
         key = jax.random.PRNGKey(1)
         idx = jnp.arange(B)
-        return full(key, gen, idx), lod(key, gen, idx)
+        return full(key, gen, idx), lod(key, gen, idx), lod256(key, gen, idx)
 
     def test_supervision_identical(self, pipeline):
         """LOD is render-only: every non-image tensor is bit-identical."""
         from artiboost_tpu.datasets.hoquery import Queries
 
-        full, lod = pipeline
+        full, lod, _ = pipeline
         for k in full:
             if k == Queries.IMAGE:
                 continue
@@ -172,7 +174,7 @@ class TestSceneLODRender:
         mean abs pixel delta < 0.03, and <15% of pixels move by >0.1."""
         from artiboost_tpu.datasets.hoquery import Queries
 
-        full, lod = pipeline
+        full, lod, lod256 = pipeline
         a = np.asarray(full[Queries.IMAGE])
         b = np.asarray(lod[Queries.IMAGE])
         delta = np.abs(a - b)
@@ -180,3 +182,10 @@ class TestSceneLODRender:
         assert (delta.max(-1) > 0.1).mean() < 0.15
         # the LOD image still has real foreground content
         assert b.std() > 0.01
+        # the 256 default (probe-chosen, script/probe_lod.py) is coarser
+        # but still bounded
+        c = np.asarray(lod256[Queries.IMAGE])
+        delta256 = np.abs(a - c)
+        assert delta256.mean() < 0.05
+        assert (delta256.max(-1) > 0.1).mean() < 0.25
+        assert c.std() > 0.01
