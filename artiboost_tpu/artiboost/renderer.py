@@ -385,6 +385,7 @@ class SceneTextures(NamedTuple):
     obj_page: jnp.ndarray   # (B,) page id for object faces
     uv: jnp.ndarray         # (B, V, 2) per-vertex texture coords in [0, 1]
     n_hand_faces: int       # static: face-id split between hand and object
+    n_hand_verts: int = 778  # static: vertex-id split (page vertex attr)
 
 
 def shade_intensity(
@@ -411,45 +412,76 @@ def shade_intensity(
 def sample_textures(
     uv_packed: jnp.ndarray,   # (B, H, W) u12*4096 + v12 from the kernel
     shade: jnp.ndarray,       # (B, H, W) in [0, 4]
-    win_face: jnp.ndarray,    # (B, H, W) int32 winning face id
+    page: jnp.ndarray,        # (B, H, W) int32 texture-page id (from the
+                              # kernel's page attribute channel)
     tex: SceneTextures,
     bilinear: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel texture gather + shade multiply -> rgb (B, H, W, 3).
 
-    Default is nearest-texel: one (B*H*W)-row gather from the flattened
-    atlas. Bilinear costs 4 gathers — measured on-chip before flipping
-    the default (docs/PERF.md); at a 224^2 render-at-crop the texel
+    TPU gather formulation (measured on-chip, script/probe_gather.py):
+    per-row gathers of 3 floats cost ~27 ms and per-scalar gathers 50 ms
+    at B=128 @224^2, but gathering whole 128-LANE rows is DMA-shaped and
+    costs 16 ms — so the atlas is rgb888-packed into (P*T*n_win, 128)
+    rows of overlapping stride-127 windows (any texel AND its +1
+    neighbour for bilinear live at lane <= 127 of window tx // 127), one
+    row gather per pixel + a one-hot lane reduction on the VPU.
+
+    Default is nearest-texel. Bilinear costs a second row gather +
+    per-channel two-hot reduces; at a 224^2 render-at-crop the texel
     density of 256^2 pages exceeds pixel density, so nearest matches GL
     bilinear to within the quantization floor almost everywhere."""
     P, T = tex.atlas.shape[0], tex.atlas.shape[1]
+    n_win = max(1, -(-(T - 1) // 127))
+    # pack once per program — constants under jit, XLA hoists this
+    a8 = jnp.floor(jnp.clip(tex.atlas, 0.0, 1.0) * 255.0 + 0.5)
+    q = a8[..., 0] * 65536.0 + a8[..., 1] * 256.0 + a8[..., 2]  # (P, T, T)
+    qpad = jnp.pad(q, ((0, 0), (0, 0), (0, (n_win - 1) * 127 + 128 - T)))
+    rows = jnp.stack([qpad[:, :, w * 127:w * 127 + 128] for w in range(n_win)],
+                     axis=2).reshape(P * T * n_win, 128)
+
     u = jnp.floor(uv_packed * (1.0 / 4096.0)) * (1.0 / 4095.0)
     v = (uv_packed - jnp.floor(uv_packed * (1.0 / 4096.0)) * 4096.0) * (1.0 / 4095.0)
-    page = jnp.where(win_face < tex.n_hand_faces,
-                     tex.hand_page[:, None, None],
-                     tex.obj_page[:, None, None])  # (B, H, W)
     tx = u * (T - 1)
     ty = (1.0 - v) * (T - 1)  # same convention as the vertex-color bake
-    flat = tex.atlas.reshape(-1, 3)
+    shape = page.shape
+    N = int(np.prod(shape))
+    pflat = page.reshape(-1)
+    it = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
 
-    def fetch(ix, iy):
-        idx = (page * T + iy) * T + ix
-        return flat[idx.reshape(-1)].reshape(idx.shape + (3,))
+    def fetch_rows(win, iy):  # window id (N,), texel row (N,) -> (N, 128)
+        return rows[(pflat * T + iy) * n_win + win]
+
+    def unpack(qv):
+        r8 = jnp.floor(qv * (1.0 / 65536.0))
+        g8 = jnp.floor((qv - r8 * 65536.0) * (1.0 / 256.0))
+        b8 = qv - r8 * 65536.0 - g8 * 256.0
+        return r8, g8, b8
 
     if not bilinear:
-        albedo = fetch(jnp.round(tx).astype(jnp.int32),
-                       jnp.round(ty).astype(jnp.int32))
+        ix = jnp.round(tx).astype(jnp.int32).reshape(-1)
+        iy = jnp.round(ty).astype(jnp.int32).reshape(-1)
+        win = jnp.minimum(ix // 127, n_win - 1)
+        r = fetch_rows(win, iy)
+        qv = jnp.sum(jnp.where(it == (ix - win * 127)[:, None], r, 0.0), -1)
+        albedo = jnp.stack(unpack(qv), -1)
     else:
-        x0 = jnp.floor(tx).astype(jnp.int32)
-        y0 = jnp.floor(ty).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, T - 1)
-        y1 = jnp.minimum(y0 + 1, T - 1)
-        wx = (tx - x0)[..., None]
-        wy = (ty - y0)[..., None]
-        albedo = ((1 - wx) * (1 - wy) * fetch(x0, y0)
-                  + wx * (1 - wy) * fetch(x1, y0)
-                  + (1 - wx) * wy * fetch(x0, y1)
-                  + wx * wy * fetch(x1, y1))
+        x0 = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, T - 2)
+        y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, T - 2)
+        wx = jnp.clip(tx - x0, 0.0, 1.0).reshape(-1)[:, None]
+        wy = jnp.clip(ty - y0, 0.0, 1.0).reshape(-1)[:, None]
+        win = jnp.minimum(x0 // 127, n_win - 1).reshape(-1)
+        lane0 = (x0.reshape(-1) - win * 127)[:, None]
+        # packed rgb888 can't blend — unpack the gathered rows (cheap VPU
+        # ops on (N, 128)), then one two-hot weighted reduce per channel
+        sel = (jnp.where(it == lane0, 1.0 - wx, 0.0)
+               + jnp.where(it == lane0 + 1, wx, 0.0))
+        a0 = jnp.stack([jnp.sum(sel * c, -1)
+                        for c in unpack(fetch_rows(win, y0.reshape(-1)))], -1)
+        a1 = jnp.stack([jnp.sum(sel * c, -1)
+                        for c in unpack(fetch_rows(win, y0.reshape(-1) + 1))], -1)
+        albedo = (1.0 - wy) * a0 + wy * a1
+    albedo = albedo.reshape(shape + (3,)) * (1.0 / 255.0)
     return jnp.clip(albedo * shade[..., None], 0.0, 1.0)
 
 
@@ -517,15 +549,22 @@ def render_scene(
         lambda v, K: project_verts(v, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
     )(verts, intr)
     if texturing is not None:
-        # per-pixel UV path: interpolate (u, v, shade) planes in the
-        # kernel, gather texels + shade-multiply in XLA afterwards
+        # per-pixel UV path: interpolate (u, v, shade, page) planes in
+        # the kernel, gather texels + shade-multiply in XLA afterwards.
+        # page is a per-vertex constant (hand vs object bank id) so the
+        # winning-face unsort gather is never needed (XLA DCEs it)
         s = shade_intensity(verts, normals, ambient, light_pos, light_int)
-        attrs = jnp.concatenate([texturing.uv, s[..., None]], axis=-1)
-        quv, sh, win, depth = rasterize_batch_pallas(
+        vp = jnp.where(
+            jnp.arange(verts.shape[1])[None, :] < texturing.n_hand_verts,
+            texturing.hand_page[:, None].astype(jnp.float32),
+            texturing.obj_page[:, None].astype(jnp.float32))
+        attrs = jnp.concatenate(
+            [texturing.uv, s[..., None], vp[..., None]], axis=-1)
+        quv, sh, pg, _win, depth = rasterize_batch_pallas(
             vs, attrs, faces, face_valid, height, width,
             cull_backfaces=cull_backfaces, tile_px=tile_px, sub_k=sub_k,
             uv_mode=True)
-        rgb = sample_textures(quv, sh, win, texturing, bilinear=bilinear)
+        rgb = sample_textures(quv, sh, pg, texturing, bilinear=bilinear)
     else:
         shaded = jax.vmap(
             lambda v, n, c, li: shade_vertices(

@@ -243,7 +243,8 @@ def make_synth_batch_fn(
                 texturing = SceneTextures(
                     atlas=atlas, hand_page=tex_id,
                     obj_page=n_hand_tex + oid, uv=uv,
-                    n_hand_faces=int(lod.hand_faces.shape[0]))
+                    n_hand_faces=int(lod.hand_faces.shape[0]),
+                    n_hand_verts=int(lod.hand_uv_bank.shape[1]))
         else:
             hand_colors = assets.hand_color_bank[tex_id]
             verts, colors, faces, fvalid = compose_scene(
@@ -258,7 +259,8 @@ def make_synth_batch_fn(
                 texturing = SceneTextures(
                     atlas=atlas, hand_page=tex_id,
                     obj_page=n_hand_tex + oid, uv=uv,
-                    n_hand_faces=int(assets.hand_faces.shape[0]))
+                    n_hand_faces=int(assets.hand_faces.shape[0]),
+                    n_hand_verts=int(assets.hand_uvs.shape[1]))
         # LOD scenes have so few live chunks that the per-grid-step fixed
         # cost dominates: sub_k=4 @ tile 512 measured best on-chip
         # (script/probe_lod.py, 73.4 vs 76.1 ms auto)

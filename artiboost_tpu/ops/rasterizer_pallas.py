@@ -55,10 +55,11 @@ N_ROWS = 16  # packed rows per chunk (9 used, padded to the sublane tile)
 _LANE_MASK = 0x7F  # low 7 mantissa bits carry the winning lane id
 
 
-def _pack_faces(sf, n_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _pack_faces(sf, n_chunks: int, n_attr: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ScreenFace -> two (NC, 16, LANE) plane-row arrays:
-    geometry [ea0, ea1, eb0, eb1, ec0', ec1, wa, wb, wc] and color
-    [ra, ga, ba, rb, gb, bb, rc, gc, bc] (see module docstring)."""
+    geometry [ea0, ea1, eb0, eb1, ec0', ec1, wa, wb, wc] and attribute
+    planes in edge-major order [ea·c0..c(A-1), eb·c0.., ec·c0..] (A = 3
+    rgb / uvs, or 4 in uv_mode with a page-flag channel)."""
     F = sf.edge_a.shape[0]
     pad = n_chunks * LANE - F
 
@@ -87,9 +88,9 @@ def _pack_faces(sf, n_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     rows += [jnp.zeros_like(wa)] * (N_ROWS - len(rows))
     geom = jnp.stack(rows, axis=1)  # (F', 16)
 
-    # color planes: channel/z = lam·(attr/z) is linear in (x, y) too
+    # attribute planes: channel/z = lam·(attr/z) is linear in (x, y) too
     crows = [jnp.sum(e * aoz[:, :, ch], axis=1)
-             for e in (ea, eb, ec) for ch in range(3)]
+             for e in (ea, eb, ec) for ch in range(n_attr)]
     crows += [jnp.zeros_like(wa)] * (N_ROWS - len(crows))
     col = jnp.stack(crows, axis=1)  # (F', 16)
 
@@ -108,14 +109,18 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int,
     reduction; returns (r8, g8, b8, depth), each (TP, 1).
 
     UV mode (per-pixel texturing, VERDICT r2 item 2): the interpolated
-    channels are (u, v, shade) instead of rgb. u and v quantize to 12
-    bits each (4096 texel positions — 8 bits would band visibly) which
-    fills the f32 mantissa, so shade rides a SECOND 16-bit-packed
+    channels are (u, v, shade, page) instead of rgb. u and v quantize to
+    12 bits each (4096 texel positions — 8 bits would band visibly)
+    which fills the f32 mantissa, so shade rides a SECOND 16-bit-packed
     reduction (range [0, 4] — clamping shade at 1 before the texture
     multiply would kill highlights on dark texels; GL clamps after).
-    Returns (uv_packed, shade, win_face_f32, depth): the texture gather
-    happens OUTSIDE the kernel in XLA (TPU has no per-lane vector gather
-    worth using here), keyed by the winning face id -> texture page."""
+    The texture-page id (constant per face, <= 255) rides the top 8 bits
+    of that same pack, so the caller never needs the winning face id —
+    the sorted->caller unsort gather over B*H*W pixels measured ~30 ms
+    at B=128 @224^2 and is now dead code XLA eliminates when ``win`` is
+    unused. Returns (uv_packed, shade_page_packed, win_face_f32, depth):
+    the texture gather happens OUTSIDE the kernel in XLA (see
+    renderer.sample_textures for the 128-lane-row gather formulation)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
     # ---- pass 1: depth + winner id ----
@@ -158,22 +163,26 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int,
 
     if uv_mode:
         def uv_body(c, acc):
-            fc = col_at(c)  # (16, LANE)
+            fc = col_at(c)  # (16, LANE) — 4-attr stride (u, v, shade, page)
             sel = ((gidx - c * LANE) == lane).astype(jnp.float32)  # (TP, LANE)
-            u = x * fc[0:1, :] + y * fc[3:4, :] + fc[6:7, :]
-            v = x * fc[1:2, :] + y * fc[4:5, :] + fc[7:8, :]
-            s = x * fc[2:3, :] + y * fc[5:6, :] + fc[8:9, :]
+            u = x * fc[0:1, :] + y * fc[4:5, :] + fc[8:9, :]
+            v = x * fc[1:2, :] + y * fc[5:6, :] + fc[9:10, :]
+            s = x * fc[2:3, :] + y * fc[6:7, :] + fc[10:11, :]
+            p = x * fc[3:4, :] + y * fc[7:8, :] + fc[11:12, :]
             quv = (jnp.floor(jnp.clip(u * depth, 0.0, 1.0) * 4095.0 + 0.5) * 4096.0
                    + jnp.floor(jnp.clip(v * depth, 0.0, 1.0) * 4095.0 + 0.5))
-            qs = jnp.floor(jnp.clip(s * depth * 0.25, 0.0, 1.0) * 65535.0 + 0.5)
+            # page is constant per face -> the plane recovers it exactly
+            # up to fp rounding; floor(+0.5) snaps it. 8 bits page + 16
+            # bits shade = 24 bits, still exact in f32
+            qsp = (jnp.floor(jnp.clip(p * depth, 0.0, 255.0) + 0.5) * 65536.0
+                   + jnp.floor(jnp.clip(s * depth * 0.25, 0.0, 1.0) * 65535.0 + 0.5))
             return (acc[0] + jnp.sum(sel * quv, axis=1, keepdims=True),
-                    acc[1] + jnp.sum(sel * qs, axis=1, keepdims=True))
+                    acc[1] + jnp.sum(sel * qsp, axis=1, keepdims=True))
 
-        quv, qs = jax.lax.fori_loop(
+        quv, qsp = jax.lax.fori_loop(
             lo, hi, uv_body, (jnp.zeros((tile_px, 1), jnp.float32),
                               jnp.zeros((tile_px, 1), jnp.float32)))
-        shade = qs * (4.0 / 65535.0)
-        return quv, shade, gidx.astype(jnp.float32), depth
+        return quv, qsp, gidx.astype(jnp.float32), depth
 
     def color_body(c, acc):
         fc = col_at(c)  # (16, LANE)
@@ -277,10 +286,12 @@ def rasterize_batch_pallas(
 ) -> Tuple[jnp.ndarray, ...]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background.
 
-    ``uv_mode``: vert_attrs are (u, v, shade) instead of rgb; returns
-    (uv_packed (B, H, W) — u12*4096+v12, shade (B, H, W) in [0, 4],
-    win_face (B, H, W) int32, depth). The caller gathers texels in XLA
-    (see renderer.sample_textures). Not supported on the binned path.
+    ``uv_mode``: vert_attrs are (u, v, shade, page) instead of rgb;
+    returns (uv_packed (B, H, W) — u12*4096+v12, shade (B, H, W) in
+    [0, 4], page (B, H, W) int32 texture-page id, win_face (B, H, W)
+    int32, depth). The caller gathers texels in XLA (see
+    renderer.sample_textures); win_face costs a B*H*W unsort gather and
+    is DCE'd by XLA when unused. Not supported on the binned path.
 
     ``xbin_w``: enable 2D x-binning — faces are duplicated into
     ``ceil(width / xbin_w)`` x-bands (per-band validity + per-band y-sort)
@@ -290,7 +301,9 @@ def rasterize_batch_pallas(
     y-culled path is kept for xbin_w=None (or when only one bin fits)."""
     B, V, _ = verts_screen.shape
     F = faces.shape[-2]
-    assert vert_attrs.shape[-1] == 3, "pallas path is specialized to rgb"
+    n_attr = vert_attrs.shape[-1]
+    assert n_attr == (4 if uv_mode else 3), (
+        "expects rgb attrs (3) or uv_mode (u, v, shade, page) attrs (4)")
     n_chunks = (F + LANE - 1) // LANE
 
     if face_valid is None:
@@ -329,7 +342,8 @@ def rasterize_batch_pallas(
         ),
         sf,
     )
-    packed, colors = jax.vmap(lambda s: _pack_faces(s, n_chunks))(sf)
+    packed, colors = jax.vmap(
+        lambda s: _pack_faces(s, n_chunks, n_attr=n_attr))(sf)
 
     # per-(batch, tile) chunk ranges from the sorted chunk y-extents
     padF = n_chunks * LANE - F
@@ -378,11 +392,16 @@ def rasterize_batch_pallas(
     img = flat.reshape(B, height, width, 4)
     if uv_mode:
         # win_face is an index into the Y-SORTED face order; map it back
-        # to the caller's face ids through the sort permutation
+        # to the caller's face ids through the sort permutation (unused
+        # by the production texture path — page rides the kernel pack —
+        # so XLA dead-code-eliminates this gather there)
         win_sorted = jnp.clip(img[..., 2].astype(jnp.int32), 0, F - 1)
         win = jnp.take_along_axis(
             order, win_sorted.reshape(B, -1), axis=1).reshape(win_sorted.shape)
-        return img[..., 0], img[..., 1], win, img[..., 3]
+        qsp = img[..., 1]
+        page = jnp.floor(qsp * (1.0 / 65536.0))
+        shade = (qsp - page * 65536.0) * (4.0 / 65535.0)
+        return img[..., 0], shade, page.astype(jnp.int32), win, img[..., 3]
     return img[..., :3], img[..., 3]
 
 

@@ -186,8 +186,16 @@ def bench_synth(cfg, B=128, k_reps=5):
         # depends on the real inputs so XLA cannot dead-code-eliminate the
         # scene prep (compose/normals/shading/projection) feeding it
         bias = (jnp.mean(vs) + jnp.mean(attrs)) * 1e-20
-        return (jnp.zeros(vs.shape[:1] + (h, w, 3), jnp.float32) + bias,
-                jnp.zeros(vs.shape[:1] + (h, w), jnp.float32) + bias)
+        B = vs.shape[0]
+        if kw.get("uv_mode"):
+            # (uv_packed, shade, page, win_face, depth) — match the UV kernel
+            return (jnp.zeros((B, h, w), jnp.float32) + bias,
+                    jnp.zeros((B, h, w), jnp.float32) + bias,
+                    jnp.zeros((B, h, w), jnp.int32),
+                    jnp.zeros((B, h, w), jnp.int32),
+                    jnp.zeros((B, h, w), jnp.float32) + bias)
+        return (jnp.zeros((B, h, w, 3), jnp.float32) + bias,
+                jnp.zeros((B, h, w), jnp.float32) + bias)
 
     renderer_mod.rasterize_batch_pallas = stub
     try:
