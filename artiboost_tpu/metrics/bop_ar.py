@@ -6,10 +6,12 @@ MSPD convention caveat: errors are measured in CROP pixel space with the
 crop-adjusted intrinsics and thresholds scaled by IMAGE_SIZE/640 — see
 ``val_metric.mspd_values`` for why this deviates from BOP's source-image
 definition and what would make it strict.
-VSD is deliberately out of scope: it needs per-sample depth renders +
-visibility masks of the TEST images, which neither the reference's
-training loop nor its eval CLI ever computes (its vendored bop_toolkit
-VSD path is dead code there too).
+VSD (``USE_VSD: true``, off by default) is an extension BEYOND the
+reference — its vendored bop_toolkit VSD path is dead code — computed
+from point-splat distance maps with object-only visibility; the two
+approximations vs strict BOP (no mesh render, no test-scene occlusion
+masking) are documented at ``val_metric.vsd_values``. AR_BOP averages
+all three recalls when VSD is on.
 """
 from __future__ import annotations
 
@@ -20,7 +22,8 @@ import numpy as np
 
 from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.metrics.metric import AverageMeter, Metric
-from artiboost_tpu.metrics.val_metric import mspd_values, mssd_values
+from artiboost_tpu.metrics.val_metric import (mspd_values, mssd_values,
+                                              vsd_values)
 from artiboost_tpu.utils.bop_sym import build_sym_tensor, default_ycb_model_info
 from artiboost_tpu.utils.registry import METRIC
 
@@ -34,6 +37,9 @@ class AR(Metric):
         self.mssd_use_corners = cfg.get("MSSD_USE_CORNERS", False)
         self.use_ho3d_ycb = cfg.get("USE_HO3D_YCB", False)
         self.use_mspd = cfg.get("USE_MSPD", True)
+        self.use_vsd = cfg.get("USE_VSD", False)
+        self.vsd_res = int(cfg.get("VSD_RES", 64))
+        self.vsd_dilate = int(cfg.get("VSD_DILATE", 2))
         data_preset = cfg.get("DATA_PRESET", {}) or {}
         self.image_width = float(
             (data_preset.get("IMAGE_SIZE") or [224, 224])[0])
@@ -52,6 +58,10 @@ class AR(Metric):
                 [info[str(i)]["diameter"] / 1000.0 for i in range(1, self.n_obj + 1)], np.float32)
         else:
             self.diameters = np.full((self.n_obj,), 0.2, np.float32)
+        # device constants built ONCE (per-feed host constants would cost
+        # a ~20 ms tunnel upload each — see metrics/ conventions)
+        self._tau_grid = jnp.linspace(0.05, 0.5, 10)
+        self._diam_dev = jnp.asarray(self.diameters)
         self.reset()
 
     _FOLD = 64  # device chunks per host fold (fixed width keeps the
@@ -63,9 +73,11 @@ class AR(Metric):
         # (no blocking fetch per feed); folded to host every _FOLD feeds
         self._errors: List[jnp.ndarray] = []
         self._errors_px: List[jnp.ndarray] = []
+        self._errors_vsd: List[jnp.ndarray] = []
         self._err_obj: List[jnp.ndarray] = []
         self._host_errors: List[np.ndarray] = []
         self._host_errors_px: List[np.ndarray] = []
+        self._host_errors_vsd: List[np.ndarray] = []
         self._host_obj: List[np.ndarray] = []
         self._ones_pad = None
 
@@ -108,6 +120,25 @@ class AR(Metric):
         else:
             vals_px = jnp.full(vals_m.shape, jnp.nan, vals_m.dtype)
         self._errors_px.append(vals_px)
+        if self.use_vsd and Queries.CAM_INTR in targs:
+            # VSD always uses the vertex cloud (corners can't splat a
+            # surface); taus = (0.05..0.5) x object diameter per BOP19
+            vsd_can = targs.get(Queries.OBJ_VERTS_CAN, obj_can)
+            vsd_pad = targs.get(Queries.PADDING_MASK)
+            if vsd_pad is None:
+                vsd_pad = jnp.ones(vsd_can.shape[:2], jnp.float32)
+            taus = self._diam_dev[gather][:, None] * self._tau_grid[None]
+            vals_vsd = vsd_values(
+                preds["box_rot_rotmat"],
+                preds["boxroot_3d_abs"].reshape(-1, 1, 3),
+                vsd_can, vsd_pad,
+                targs[Queries.OBJ_TRANSF],
+                jnp.asarray(targs[Queries.CAM_INTR]), taus,
+                self.image_width, res=self.vsd_res, dilate=self.vsd_dilate,
+            )
+        else:
+            vals_vsd = jnp.full((vals_m.shape[0], 10), jnp.nan, vals_m.dtype)
+        self._errors_vsd.append(vals_vsd)
         self._err_obj.append(obj_idx)
         self.count += int(vals_m.shape[0])
         if len(self._errors) >= self._FOLD:
@@ -119,26 +150,30 @@ class AR(Metric):
         self._host_errors.append(np.asarray(jnp.concatenate(self._errors)))
         self._host_errors_px.append(
             np.asarray(jnp.concatenate(self._errors_px)))
+        self._host_errors_vsd.append(
+            np.asarray(jnp.concatenate(self._errors_vsd)))
         self._host_obj.append(np.asarray(jnp.concatenate(self._err_obj)))
         self._errors, self._errors_px, self._err_obj = [], [], []
+        self._errors_vsd = []
 
     def _collect(self):
-        """-> (errors (N,), errors_px (N,), obj_idx (N,)) on host; padded
-        rows dropped."""
+        """-> (errors (N,), errors_px (N,), errors_vsd (N, 10),
+        obj_idx (N,)) on host; padded rows dropped."""
         self._fold()
         if not self._host_errors:
             z = np.zeros((0,), np.float32)
-            return z, z, np.zeros((0,), np.int32)
+            return z, z, np.zeros((0, 10), np.float32), np.zeros((0,), np.int32)
         errors = np.concatenate(self._host_errors)
         errors_px = np.concatenate(self._host_errors_px)
+        errors_vsd = np.concatenate(self._host_errors_vsd)
         obj = np.concatenate(self._host_obj)
         keep = obj >= 0
-        return errors[keep], errors_px[keep], obj[keep]
+        return errors[keep], errors_px[keep], errors_vsd[keep], obj[keep]
 
     @property
     def objs_error(self) -> Dict[int, AverageMeter]:
         """Host view of per-object meters (fetches; epoch-boundary use)."""
-        errors, _, obj = self._collect()
+        errors, _, _, obj = self._collect()
         out = {i + 1: AverageMeter() for i in range(self.n_obj)}
         for i in range(1, self.n_obj + 1):
             e = errors[obj == i]
@@ -148,11 +183,11 @@ class AR(Metric):
 
     @property
     def avg(self) -> float:
-        errors, _, _ = self._collect()
+        errors, _, _, _ = self._collect()
         return float(errors.sum()) / max(errors.size, 1) * 1000.0  # mm
 
     def get_measures(self, **kwargs) -> Dict[str, float]:
-        errors, errors_px, obj = self._collect()
+        errors, errors_px, errors_vsd, obj = self._collect()
         measures = {"MSSD": float(errors.sum()) / max(errors.size, 1) * 1000.0}
         for idx in range(1, self.n_obj + 1):
             e = errors[obj == idx]
@@ -172,10 +207,23 @@ class AR(Metric):
                 rs = np.linspace(5, 50, 10) * (self.image_width / 640.0)
                 recalls_px = [(px < r).mean() for r in rs]
                 measures["AR_MSPD"] = float(np.mean(recalls_px))
-                # the BOP-core AR averages VSD too; VSD is out of scope
-                # here (module docstring) so this is the 2-term mean
+                # without VSD this is the 2-term mean; with USE_VSD the
+                # full BOP-core 3-term AR is reported as AR_BOP below
                 measures["AR_BOP2"] = float(
                     (measures["AR_MSSD"] + measures["AR_MSPD"]) / 2.0)
+            has_vsd = np.isfinite(errors_vsd).all(axis=1)
+            if has_vsd.any():
+                e = errors_vsd[has_vsd]  # (N, 10 taus)
+                measures["VSD"] = float(e.mean())
+                # BOP19 recall grid: theta in 0.05..0.5 x tau in
+                # (0.05..0.5) x diameter (already baked into e's columns)
+                thetas = np.linspace(0.05, 0.5, 10)
+                measures["AR_VSD"] = float(
+                    (e[:, :, None] < thetas[None, None, :]).mean())
+                if "AR_MSPD" in measures:
+                    measures["AR_BOP"] = float(np.mean(
+                        [measures["AR_VSD"], measures["AR_MSSD"],
+                         measures["AR_MSPD"]]))
         return measures
 
     def __str__(self) -> str:

@@ -231,6 +231,98 @@ def mspd_values(
     return _masked_maxmin(d, pad_mask, sym_valid)
 
 
+_VSD_BIG = 1e9
+
+
+def _splat_depth(px, py, z, valid, res: int) -> jnp.ndarray:
+    """Point-splat z-buffer: (B, V) pixel coords + depths -> (B, res, res)
+    distance map (empty cells = _VSD_BIG). Scatter-min per sample."""
+    ix = jnp.round(px).astype(jnp.int32)
+    iy = jnp.round(py).astype(jnp.int32)
+    inb = (valid & (ix >= 0) & (ix < res) & (iy >= 0) & (iy < res)
+           & (z > 1e-6))
+    lin = jnp.where(inb, iy * res + ix, res * res)  # invalids -> spare cell
+    zz = jnp.where(inb, z, _VSD_BIG)
+
+    def one(lin_s, z_s):
+        d = jnp.full((res * res + 1,), _VSD_BIG, jnp.float32)
+        return d.at[lin_s].min(z_s)[: res * res].reshape(res, res)
+
+    return jax.vmap(one)(lin, zz)
+
+
+def _fill_holes(d: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Fill empty cells with the 3x3 neighbourhood min, ``iters`` times —
+    closes the gaps a finite vertex cloud leaves between splats."""
+    res = d.shape[-1]
+    for _ in range(iters):
+        p = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=_VSD_BIG)
+        m = d
+        for dy in range(3):
+            for dx in range(3):
+                m = jnp.minimum(m, p[:, dy:dy + res, dx:dx + res])
+        d = jnp.where(d >= _VSD_BIG * 0.5, m, d)
+    return d
+
+
+def vsd_values(
+    pred_rot: jnp.ndarray,     # (B, 3, 3)
+    pred_tsl: jnp.ndarray,     # (B, 1, 3)
+    obj_can: jnp.ndarray,      # (B, V, 3) canonical vertex cloud
+    pad_mask: jnp.ndarray,     # (B, V) 1=valid
+    obj_transf: jnp.ndarray,   # (B, 4, 4) GT pose
+    intr: jnp.ndarray,         # (B, 3, 3) crop intrinsics
+    taus: jnp.ndarray,         # (B, n_tau) depth tolerances, meters
+    image_size: float,
+    res: int = 64,
+    dilate: int = 2,
+) -> jnp.ndarray:
+    """Visible Surface Discrepancy, approximated -> (B, n_tau) in [0, 1].
+
+    BOP's VSD (bop_toolkit pose_error.py::vsd — vendored dead code in
+    the reference, never called by its training loop or eval CLI; this
+    is an extension BEYOND the reference) renders distance maps of the
+    model in the estimated and GT poses and scores, over the union of
+    their visibility masks, the fraction of pixels that either appear
+    in only one map or disagree in depth by more than tau. Symmetries
+    need no special handling — indistinguishable views produce
+    identical distance maps (the design point of VSD).
+
+    Two documented approximations (no mesh/scene-depth dependencies):
+      * distance maps come from POINT-SPLATTING the padded canonical
+        vertex cloud at ``res``² with ``dilate`` rounds of 3x3 min-pool
+        hole filling, not from a mesh render — adequate because both
+        maps share the same cloud, so splat sparsity largely cancels;
+      * visibility is object-only (BOP's test-scene occlusion masking
+        needs the captured depth image, which the eval pipeline — and
+        the reference's — never loads).
+    Samples whose union mask is empty (object fully outside the crop)
+    score 0 by convention. Computed in crop space like mspd_values."""
+    pred_abs = jnp.einsum("bij,bvj->bvi", pred_rot, obj_can) + pred_tsl
+    gt_abs = (jnp.einsum("bij,bvj->bvi", obj_transf[:, :3, :3], obj_can)
+              + obj_transf[:, None, :3, 3])
+    scale = res / float(image_size)
+    valid = pad_mask > 0
+
+    def to_grid(p):  # (B, V, 3) -> px, py in res-grid units, z
+        z = jnp.maximum(p[..., 2], 1e-6)
+        px = (p[..., 0] / z * intr[:, None, 0, 0] + intr[:, None, 0, 2]) * scale
+        py = (p[..., 1] / z * intr[:, None, 1, 1] + intr[:, None, 1, 2]) * scale
+        return px, py, p[..., 2]
+
+    d_est = _fill_holes(_splat_depth(*to_grid(pred_abs), valid, res), dilate)
+    d_gt = _fill_holes(_splat_depth(*to_grid(gt_abs), valid, res), dilate)
+    va = d_est < _VSD_BIG * 0.5
+    vb = d_gt < _VSD_BIG * 0.5
+    union = va | vb
+    inter = va & vb
+    diff = jnp.abs(d_est - d_gt)
+    match = inter[:, None] & (diff[:, None] < taus[:, :, None, None])
+    err = union[:, None] & ~match  # (B, n_tau, res, res)
+    union_n = jnp.maximum(jnp.sum(union, axis=(1, 2)), 1)
+    return jnp.sum(err, axis=(2, 3)) / union_n[:, None]
+
+
 @METRIC.register_module
 class ValMetricAR2(Metric):
     """Per-triplet MSSD (reference val_metric.py:146-324)."""

@@ -46,7 +46,7 @@ from artiboost_tpu.utils.logger import logger
 from artiboost_tpu.utils.misc import TrainMode
 from artiboost_tpu.utils.registry import DATASET, build_from_cfg
 
-CFG = "config/synthetic_smoke.yaml"
+CFG = "config/mining_ab.yaml"
 
 
 def run_variant(method: str, seed: int, epochs: int, test_data, cfg_base):
@@ -150,9 +150,10 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--methods", nargs="+",
                     default=["method_1", "method_4", "uniform"])
+    ap.add_argument("--cfg", default=CFG)
     arg = ap.parse_args()
 
-    cfg = load_config(CFG)
+    cfg = load_config(arg.cfg)
     test_data = build_from_cfg(cfg["DATASET"]["TEST"], DATASET,
                                {"DATA_PRESET": cfg["DATA_PRESET"]})
     rows = []

@@ -271,7 +271,7 @@ class TestSampleValid:
         m.feed(bad, targs)
         meas = m.get_measures()
         assert meas["MSSD"] < 1.0  # mm; leaked pad rows would add >>10mm
-        errors, _, obj = m._collect()
+        errors, _, _, obj = m._collect()
         assert errors.size == n_valid
 
     def test_bop_mspd_perfect_and_offset(self, rng):
@@ -328,6 +328,88 @@ class TestSampleValid:
         assert meas["AR_MSPD"] == pytest.approx(1.0)
         assert meas["AR_BOP2"] == pytest.approx(
             (meas["AR_MSSD"] + meas["AR_MSPD"]) / 2.0)
+
+    def test_vsd_values_perfect_offset_disjoint(self, rng):
+        """vsd_values: 0 for a perfect pose; ~1 when depths disagree by
+        more than tau; exactly 1 when the projections are disjoint."""
+        from artiboost_tpu.metrics.val_metric import vsd_values
+
+        B, V = 1, 400
+        can = (rng.rand(B, V, 3).astype(np.float32) - 0.5) * 0.06
+        transf = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        transf[:, 2, 3] = 0.5
+        intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112],
+                                 [0, 0, 1]], np.float32), (B, 1, 1))
+        eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+        pad = jnp.ones((B, V))
+        tsl = jnp.asarray(transf[:, None, :3, 3])
+        taus = jnp.asarray([[0.01, 0.02, 0.04, 0.08, 0.12]])
+
+        e0 = np.asarray(vsd_values(eye, tsl, jnp.asarray(can), pad,
+                                   jnp.asarray(transf), jnp.asarray(intr),
+                                   taus, 224.0))
+        np.testing.assert_allclose(e0, 0.0, atol=1e-6)
+
+        # +5 cm depth offset: taus below 0.05 fail, above pass (up to the
+        # small projected-scale ring that stays mismatched)
+        ez = np.asarray(vsd_values(
+            eye, tsl + jnp.asarray([0.0, 0.0, 0.05]), jnp.asarray(can), pad,
+            jnp.asarray(transf), jnp.asarray(intr), taus, 224.0))
+        assert (ez[0, :3] > 0.8).all()   # tau = 1/2/4 cm < 5 cm offset
+        assert (ez[0, 3:] < 0.3).all()   # tau = 8/12 cm > 5 cm offset
+
+        # 30 cm sideways: disjoint masks -> every union pixel is an error
+        ex = np.asarray(vsd_values(
+            eye, tsl + jnp.asarray([0.3, 0.0, 0.0]), jnp.asarray(can), pad,
+            jnp.asarray(transf), jnp.asarray(intr), taus, 224.0))
+        np.testing.assert_allclose(ex, 1.0, atol=1e-6)
+
+    def test_vsd_symmetry_invariance(self, rng):
+        """A pose differing by an object symmetry produces (nearly) the
+        same distance map — VSD needs no symmetry annotations."""
+        from artiboost_tpu.metrics.val_metric import vsd_values
+
+        B, Vh = 1, 300
+        half = (rng.rand(B, Vh, 3).astype(np.float32) - 0.5) * 0.06
+        can = np.concatenate([half, -half], axis=1)  # 180deg-z symmetric
+        can[..., 2] = np.abs(can[..., 2]) * 0.3      # keep z-sym too
+        V = can.shape[1]
+        transf = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        transf[:, 2, 3] = 0.5
+        intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112],
+                                 [0, 0, 1]], np.float32), (B, 1, 1))
+        rot_z = jnp.asarray(np.tile(np.diag([-1.0, -1.0, 1.0]).astype(
+            np.float32), (B, 1, 1)))
+        pad = jnp.ones((B, V))
+        tsl = jnp.asarray(transf[:, None, :3, 3])
+        taus = jnp.asarray([[0.005, 0.01]])
+        e = np.asarray(vsd_values(rot_z, tsl, jnp.asarray(can), pad,
+                                  jnp.asarray(transf), jnp.asarray(intr),
+                                  taus, 224.0))
+        assert (e < 0.15).all()  # splat-rounding noise only
+
+    def test_bop_ar_reports_vsd(self, rng):
+        """AR with USE_VSD reports VSD / AR_VSD / AR_BOP; a perfect
+        prediction recalls at every (tau, theta)."""
+        from artiboost_tpu.metrics.bop_ar import AR
+
+        B = 4
+        preds, targs = _batch(rng, B=B)
+        transf = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        transf[:, 2, 3] = 0.5
+        targs[Queries.OBJ_TRANSF] = jnp.asarray(transf)
+        targs[Queries.CAM_INTR] = jnp.tile(
+            jnp.asarray([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]]),
+            (B, 1, 1))
+        preds = dict(preds)
+        preds["boxroot_3d_abs"] = jnp.asarray(transf[:, None, :3, 3])
+        m = AR(USE_VSD=True, DATA_PRESET={"IMAGE_SIZE": [224, 224]})
+        m.feed(preds, targs)
+        meas = m.get_measures()
+        assert meas["VSD"] == pytest.approx(0.0, abs=1e-6)
+        assert meas["AR_VSD"] == pytest.approx(1.0)
+        assert meas["AR_BOP"] == pytest.approx(
+            (meas["AR_VSD"] + meas["AR_MSSD"] + meas["AR_MSPD"]) / 3.0)
 
     def test_feed_all_weights_losses_by_valid(self, rng):
         ev = build_evaluator([{"TYPE": "LossesMetric", "VIS_LOSS_KEYS": []}])
