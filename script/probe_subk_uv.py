@@ -25,7 +25,8 @@ def main():
     gen = None
     results = []
     for tile_px, sub_k in ((512, 4), (512, 8), (512, 16), (512, 24),
-                           (1024, 4), (1024, 8), (2048, 4), (256, 16)):
+                           (512, 49), (1024, 4), (1024, 8), (2048, 4),
+                           (256, 16)):
         loader = make_loader(256, tile_px, sub_k)
         if gen is None:
             gen = loader.generated
