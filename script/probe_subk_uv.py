@@ -20,13 +20,22 @@ import jax
 from probe_lod import B, make_loader, timed
 
 
+DEFAULT_CONFIGS = ((512, 4), (512, 8), (512, 16), (512, 24),
+                   (512, 49), (1024, 4), (1024, 8), (2048, 4),
+                   (256, 16))
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
+    # configs from argv as tile:sub_k pairs (the full sweep outlives a
+    # 10-min timeout on this host's compile speed — chunk it)
+    if len(sys.argv) > 1:
+        configs = [tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]]
+    else:
+        configs = DEFAULT_CONFIGS
     gen = None
     results = []
-    for tile_px, sub_k in ((512, 4), (512, 8), (512, 16), (512, 24),
-                           (512, 49), (1024, 4), (1024, 8), (2048, 4),
-                           (256, 16)):
+    for tile_px, sub_k in configs:
         loader = make_loader(256, tile_px, sub_k)
         if gen is None:
             gen = loader.generated
