@@ -204,6 +204,14 @@ class TestMining:
         assert float(early["dist_lower_ratio"]) == -1.0
         assert float(late["dist_lower_ratio"]) != -1.0
 
+    def test_uniform_is_noop(self):
+        """The mining-A/B control arm (script/mining_ab.py) must leave the
+        weight map bit-identical — any drift would contaminate the A/B."""
+        w, val, seen = self._setup()
+        out = UPDATE_METHODS["uniform"](w, val, seen, 0.1, 10.0)
+        np.testing.assert_array_equal(np.asarray(out["sample_weight_map"]),
+                                      np.asarray(w))
+
 
 class TestPoseGeneratorPipeline:
     def test_generate_and_decode(self, mano_model, key, rng):
