@@ -262,11 +262,13 @@ def make_synth_batch_fn(
                     n_hand_faces=int(assets.hand_faces.shape[0]),
                     n_hand_verts=int(assets.hand_uvs.shape[1]))
         # LOD scenes have so few live chunks that the per-grid-step fixed
-        # cost dominates: sub_k=4 @ tile 512 measured best on-chip
-        # (script/probe_lod.py, 73.4 vs 76.1 ms auto)
+        # cost dominates: sub_k=8 @ tile 512 with the channel-transposed
+        # output block measured best on-chip (script/probe_outct.py,
+        # 79.9 ms vs 92.8 @ the old sub_k 4 / (TP, 4) layout — the dense
+        # lane-aligned output DMA also un-blocks larger sub_k)
         tile_px, sub_k = cfg.tile_px, cfg.sub_k
         if lod is not None and tile_px is None and sub_k is None:
-            tile_px, sub_k = 512, 4
+            tile_px, sub_k = 512, 8
         img, depth = render_scene(
             verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
             cull_backfaces=cfg.cull_backfaces,

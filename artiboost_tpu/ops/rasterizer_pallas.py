@@ -207,13 +207,21 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int,
 
 def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
                    tile_px: int, n_tiles: int, sub_k: int,
-                   uv_mode: bool = False):
+                   uv_mode: bool = False, out_ct: bool = False):
     """One grid step rasterizes ``sub_k`` consecutive tiles (statically
     unrolled): the fixed per-grid-step cost (~12 us measured — Mosaic
     step machinery + output DMA turnaround) dominates the raster at
     realistic face counts, so amortizing it over k tiles is the lever —
     each sub-tile keeps its OWN tight chunk range from the prefetch
-    table, unlike simply growing tile_px (which loosens y-culling)."""
+    table, unlike simply growing tile_px (which loosens y-culling).
+
+    ``out_ct`` (channel-transposed output): the natural (TP, 4) output
+    block puts only 4 of 128 lanes to work, so its block->HBM DMA is
+    TP rows x 16 bytes — thousands of descriptor-sized transfers per
+    grid step. With out_ct the block is (4 * sub_k, tile_px): channels
+    land on sublanes (subtile j writes rows [4j, 4j+4)), pixels fill
+    whole 128-lane rows, and the DMA is one dense lane-aligned block.
+    Costs one (TP, 4) -> (4, TP) in-kernel relayout per subtile."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     for j in range(sub_k):
@@ -232,16 +240,19 @@ def _raster_kernel(ranges_ref, packed_ref, colors_ref, out_ref, *, width: int,
             ranges_ref[rbase], ranges_ref[rbase + 1], tile_px,
             uv_mode=uv_mode)
 
-        lo = j * tile_px
-        if uv_mode:  # (uv_packed, shade, win_face, depth) raw
+        if not uv_mode:
+            c0 = c0 * (1.0 / 255.0)
+            c1 = c1 * (1.0 / 255.0)
+            c2 = c2 * (1.0 / 255.0)
+        if out_ct:
+            cat = jnp.concatenate([c0, c1, c2, depth], axis=1)  # (TP, 4)
+            out_ref[0, 0, 4 * j:4 * (j + 1), :] = jnp.transpose(cat)
+        else:
+            lo = j * tile_px
             out_ref[0, 0, lo:lo + tile_px, 0:1] = c0
             out_ref[0, 0, lo:lo + tile_px, 1:2] = c1
             out_ref[0, 0, lo:lo + tile_px, 2:3] = c2
-        else:
-            out_ref[0, 0, lo:lo + tile_px, 0:1] = c0 * (1.0 / 255.0)
-            out_ref[0, 0, lo:lo + tile_px, 1:2] = c1 * (1.0 / 255.0)
-            out_ref[0, 0, lo:lo + tile_px, 2:3] = c2 * (1.0 / 255.0)
-        out_ref[0, 0, lo:lo + tile_px, 3:4] = depth
+            out_ref[0, 0, lo:lo + tile_px, 3:4] = depth
 
 
 def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
@@ -269,7 +280,7 @@ def _raster_kernel_binned(ranges_ref, packed_ref, colors_ref, out_ref, *,
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
                                    "cull_backfaces", "xbin_w", "tile_rows",
-                                   "sub_k", "uv_mode"))
+                                   "sub_k", "uv_mode", "out_ct"))
 def rasterize_batch_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3)
     vert_attrs: jnp.ndarray,    # (B, V, 3) rgb
@@ -283,6 +294,7 @@ def rasterize_batch_pallas(
     tile_rows: int = 8,
     sub_k: Optional[int] = None,
     uv_mode: bool = False,
+    out_ct: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """-> (rgb (B, H, W, 3), depth (B, H, W)). depth 0 = background.
 
@@ -366,6 +378,11 @@ def rasterize_batch_pallas(
         [jnp.minimum(starts, ends), ends], axis=-1
     ).astype(jnp.int32).reshape(-1)
 
+    if out_ct is None:
+        out_ct = tile_px % LANE == 0
+    out_ct = out_ct and tile_px % LANE == 0  # lanes must stay aligned
+    out_block = ((1, 1, 4 * sub_k, tile_px) if out_ct
+                 else (1, 1, sub_k * tile_px, 4))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_super),
@@ -375,19 +392,21 @@ def rasterize_batch_pallas(
             pl.BlockSpec((1, n_chunks, N_ROWS, LANE), lambda b, t, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, sub_k * tile_px, 4),
-                               lambda b, t, *_: (b, t, 0, 0),
+        out_specs=pl.BlockSpec(out_block, lambda b, t, *_: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         partial(_raster_kernel, width=width, tile_px=tile_px, n_tiles=n_tiles,
-                sub_k=sub_k, uv_mode=uv_mode),
+                sub_k=sub_k, uv_mode=uv_mode, out_ct=out_ct),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_super, sub_k * tile_px, 4),
+        out_shape=jax.ShapeDtypeStruct((B, n_super) + out_block[2:],
                                        jnp.float32),
         interpret=jax.default_backend() == "cpu",  # tests run on CPU mesh
     )(ranges, packed, colors)
 
+    if out_ct:
+        # sublane s = 4j + ch: un-interleave channels back to minor dim
+        out = out.reshape(B, n_super, sub_k, 4, tile_px).transpose(0, 1, 2, 4, 3)
     flat = out.reshape(B, n_tiles * tile_px, 4)[:, :n_pix]
     img = flat.reshape(B, height, width, 4)
     if uv_mode:

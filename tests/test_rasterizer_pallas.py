@@ -47,6 +47,43 @@ def test_pallas_nonsquare(rng):
     assert np.asarray(d).max() > 0
 
 
+@pytest.mark.parametrize("sub_k", [1, 4])
+def test_pallas_out_ct_layouts_identical(rng, sub_k):
+    """Channel-transposed output block (out_ct, the production default at
+    lane-aligned tiles) is bit-identical to the (TP, 4) layout — same
+    kernel math, only the block->HBM DMA shape changes."""
+    verts, attrs, faces = _scene(rng)
+    H = W = 32
+    a_ref, d_ref = rasterize_batch_pallas(verts, attrs, faces, None, H, W,
+                                          tile_px=256, sub_k=sub_k,
+                                          out_ct=False)
+    a, d = rasterize_batch_pallas(verts, attrs, faces, None, H, W,
+                                  tile_px=256, sub_k=sub_k, out_ct=True)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
+
+
+def test_pallas_out_ct_uv_mode(rng):
+    """out_ct layout parity in uv_mode (4-attr raw planes)."""
+    verts, _, faces = _scene(rng)
+    B, V = verts.shape[:2]
+    uvsp = np.zeros((B, V, 4), np.float32)
+    uvsp[..., 0] = np.random.RandomState(0).rand(B, V) * 4095
+    uvsp[..., 1] = np.random.RandomState(1).rand(B, V) * 4095
+    uvsp[..., 2] = np.random.RandomState(2).rand(B, V) * 4
+    uvsp[..., 3] = 1.0
+    uvsp = jnp.asarray(uvsp)
+    H = W = 32
+    ref = rasterize_batch_pallas(verts, uvsp, faces, None, H, W,
+                                 tile_px=256, sub_k=4, uv_mode=True,
+                                 out_ct=False)
+    out = rasterize_batch_pallas(verts, uvsp, faces, None, H, W,
+                                 tile_px=256, sub_k=4, uv_mode=True,
+                                 out_ct=True)
+    for o, r in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+
 @pytest.mark.parametrize("xbin_w,tile_rows", [(16, 8), (8, 4)])
 def test_pallas_binned_matches_1d(rng, xbin_w, tile_rows):
     """2D x-binned path is pixel-identical to the 1D y-culled path
