@@ -395,16 +395,9 @@ class ArtiBoostLoader:
             if len(parts) == 1:
                 yield parts[0]
             else:
-                from artiboost_tpu.utils.misc import warn_dropped_keys
+                from artiboost_tpu.utils.batching import union_concat
 
-                warn_dropped_keys(parts[0].keys(), parts[1].keys(),
-                                  "ArtiBoostLoader.__iter__")
-                keys = set(parts[0].keys()) & set(parts[1].keys())
-                yield {
-                    k: jnp.concatenate(
-                        [jnp.asarray(parts[0][k]), jnp.asarray(parts[1][k])], axis=0)
-                    for k in keys
-                }
+                yield union_concat(parts, "ArtiBoostLoader.__iter__")
 
     def iter_parts(self) -> Iterator:
         """Return an iterator of (real_batch | None, synth_idx | None) pairs

@@ -4,10 +4,12 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.batching import key_validity, masked_sample_mean
 from artiboost_tpu.utils.registry import LOSS
 
 
@@ -46,8 +48,17 @@ class AlignLoss(TensorLoss):
         final_loss, losses = jnp.zeros((), jnp.float32), {}
         targ = targs[Queries.JOINTS_3D] + targs[Queries.ROOT_JOINT][:, None]
         if self.lambda_procrustes_align:
+            m = key_validity(targs, Queries.JOINTS_3D)
+            if m is not None:
+                # union-batch samples without joint annot: all-zero targets
+                # would hit a degenerate SVD (NaN grads) — substitute the
+                # (detached) prediction so alignment is exact and the
+                # masked residual is zero
+                sub = jax.lax.stop_gradient(preds["joints_3d_abs"])
+                targ = jnp.where(m[:, None, None] > 0, targ, sub)
             aligned = procrustes_align(targ, preds["joints_3d_abs"])
-            procrustes_aligned_loss = jnp.mean((aligned - targ) ** 2)
+            per_sample = jnp.mean((aligned - targ) ** 2, axis=(1, 2))
+            procrustes_aligned_loss = masked_sample_mean(per_sample, m)
             final_loss = final_loss + self.lambda_procrustes_align * procrustes_aligned_loss
             losses["procrustes_aligned_loss"] = procrustes_aligned_loss
         losses[self.output_key] = final_loss

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.ops.chamfer import chamfer_distance
+from artiboost_tpu.utils.batching import key_validity
 from artiboost_tpu.utils.registry import LOSS
 
 
@@ -30,6 +31,9 @@ class ChamferLoss(TensorLoss):
             targ_obj_verts_abs = targs[Queries.OBJ_VERTS_3D] + targs[Queries.ROOT_JOINT][:, None]
 
             sample_vis = jnp.any(targs[Queries.CORNERS_VIS] > 0, axis=1).astype(jnp.float32)
+            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN)
+            if m is not None:  # union-batch samples without obj-vert annot.
+                sample_vis = sample_vis * m
             pred_obj_verts_abs = pred_obj_verts_abs * sample_vis[:, None, None]
             targ_obj_verts_abs = targ_obj_verts_abs * sample_vis[:, None, None]
 

@@ -8,7 +8,15 @@ import jax.numpy as jnp
 
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.batching import key_validity, masked_sample_mean
 from artiboost_tpu.utils.registry import LOSS
+
+
+def _masked_mse_3d(pred: jnp.ndarray, targ: jnp.ndarray, m) -> jnp.ndarray:
+    """MSE over (B, N, 3) with an optional (B,) union-batch validity mask;
+    masked samples contribute zero and drop out of the denominator."""
+    per_sample = jnp.mean((pred - targ) ** 2, axis=(1, 2))
+    return masked_sample_mean(per_sample, m)
 
 
 @LOSS.register_module
@@ -32,15 +40,15 @@ class ManoLoss(TensorLoss):
             losses["mano_pca_pose"] = pose_reg_loss
         root = targs[Queries.ROOT_JOINT][:, None]
         if self.lambda_joints_3d and Queries.JOINTS_3D in targs:
-            joints_3d_loss = jnp.mean(
-                (preds["joints_3d_abs"] - (targs[Queries.JOINTS_3D] + root)) ** 2
-            )
+            joints_3d_loss = _masked_mse_3d(
+                preds["joints_3d_abs"], targs[Queries.JOINTS_3D] + root,
+                key_validity(targs, Queries.JOINTS_3D))
             final_loss = final_loss + self.lambda_joints_3d * joints_3d_loss
             losses["joints_3d_loss"] = joints_3d_loss
         if self.lambda_hand_verts_3d and Queries.HAND_VERTS_3D in targs:
-            hand_verts_3d_loss = jnp.mean(
-                (preds["hand_verts_3d_abs"] - (targs[Queries.HAND_VERTS_3D] + root)) ** 2
-            )
+            hand_verts_3d_loss = _masked_mse_3d(
+                preds["hand_verts_3d_abs"], targs[Queries.HAND_VERTS_3D] + root,
+                key_validity(targs, Queries.HAND_VERTS_3D))
             final_loss = final_loss + self.lambda_hand_verts_3d * hand_verts_3d_loss
             losses["hand_verts_3d_loss"] = hand_verts_3d_loss
         losses[self.output_key] = final_loss
@@ -68,6 +76,11 @@ class ObjLoss(TensorLoss):
                     + preds["boxroot_3d_abs"].reshape(-1, 1, 3)
                 )
             mask = targs.get(Queries.PADDING_MASK)
+            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN)
+            if mask is None and m is not None:
+                mask = jnp.broadcast_to(m[:, None], pred.shape[:2])
+            elif mask is not None and m is not None:
+                mask = mask * m[:, None]
             if mask is not None:
                 diff = ((pred - targ) ** 2) * mask[..., None]
                 obj_verts_3d_loss = jnp.sum(diff) / (jnp.sum(mask) * 3.0 + 1e-8)

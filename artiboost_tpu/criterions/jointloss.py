@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.batching import key_validity
 from artiboost_tpu.utils.registry import LOSS
 
 
@@ -17,6 +18,11 @@ def _masked_mse(pred: jnp.ndarray, targ: jnp.ndarray, vis: jnp.ndarray) -> jnp.n
     pred = pred * vis[..., None]
     targ = targ * vis[..., None]
     return jnp.mean((pred - targ) ** 2)
+
+
+def _fold_valid(vis: jnp.ndarray, m) -> jnp.ndarray:
+    """AND a (B,) union-batch key-validity mask into a (B, N) vis map."""
+    return vis if m is None else vis * m[:, None]
 
 
 @LOSS.register_module
@@ -33,7 +39,8 @@ class JointsLoss(TensorLoss):
             joints_3d_loss = _masked_mse(
                 preds["joints_3d_abs"],
                 targs[Queries.JOINTS_3D] + root,
-                targs[Queries.JOINTS_VIS],
+                _fold_valid(targs[Queries.JOINTS_VIS],
+                            key_validity(targs, Queries.JOINTS_3D)),
             )
             final_loss = final_loss + self.lambda_joints_3d * joints_3d_loss
             losses["joints_3d_loss"] = joints_3d_loss
@@ -41,7 +48,8 @@ class JointsLoss(TensorLoss):
             corners_3d_loss = _masked_mse(
                 preds["corners_3d_abs"],
                 targs[Queries.CORNERS_3D] + root,
-                targs[Queries.CORNERS_VIS],
+                _fold_valid(targs[Queries.CORNERS_VIS],
+                            key_validity(targs, Queries.CORNERS_3D)),
             )
             final_loss = final_loss + self.lambda_corners_3d * corners_3d_loss
             losses["corners_3d_loss"] = corners_3d_loss
@@ -60,7 +68,8 @@ class HandJointsLoss(TensorLoss):
         joints_3d_loss = _masked_mse(
             preds["joints_3d_abs"],
             targs[Queries.JOINTS_3D] + root,
-            targs[Queries.JOINTS_VIS],
+            _fold_valid(targs[Queries.JOINTS_VIS],
+                        key_validity(targs, Queries.JOINTS_3D)),
         )
         final_loss = self.lambda_joints_3d * joints_3d_loss
         return final_loss, {"joints_3d_loss": joints_3d_loss, self.output_key: final_loss}

@@ -20,6 +20,7 @@ import numpy as np
 
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.batching import key_validity
 from artiboost_tpu.utils.misc import CONST
 from artiboost_tpu.utils.registry import LOSS
 
@@ -88,6 +89,9 @@ class HandOrdLoss(TensorLoss):
         B = preds["joints_3d_abs"].shape[0]
 
         vis = targs[Queries.JOINTS_VIS]
+        m = key_validity(targs, Queries.JOINTS_3D)
+        if m is not None:  # union-batch: zeroed joints give targ_sign 0 -> 0 loss
+            vis = vis * m[:, None]
         pred_j = _mask_kp(preds["joints_3d_abs"], vis)
         targ_j = _mask_kp(targs[Queries.JOINTS_3D] + targs[Queries.ROOT_JOINT][:, None], vis)
 
@@ -140,6 +144,12 @@ class SceneOrdLoss(TensorLoss):
 
         j_vis = targs[Queries.JOINTS_VIS]
         c_vis = targs[Queries.CORNERS_VIS]
+        mj = key_validity(targs, Queries.JOINTS_3D)
+        mc = key_validity(targs, Queries.CORNERS_3D)
+        if mj is not None:
+            j_vis = j_vis * mj[:, None]
+        if mc is not None:
+            c_vis = c_vis * mc[:, None]
         pred_j = _mask_kp(preds["joints_3d_abs"], j_vis)
         targ_j = _mask_kp(targs[Queries.JOINTS_3D] + root, j_vis)
         pred_c = _mask_kp(preds["corners_3d_abs"], c_vis)

@@ -13,6 +13,7 @@ import numpy as np
 
 from artiboost_tpu.criterions.criterion import TensorLoss
 from artiboost_tpu.datasets.hoquery import Queries
+from artiboost_tpu.utils.batching import key_validity, masked_sample_mean
 from artiboost_tpu.utils.bop_sym import build_sym_tensor, default_ycb_model_info
 from artiboost_tpu.utils.registry import LOSS
 
@@ -58,13 +59,17 @@ class SymCornerLoss(TensorLoss):
             )  # (B, S, 8, 3)
 
             vis = targs[Queries.CORNERS_VIS]
+            m = key_validity(targs, Queries.OBJ_TRANSF, Queries.CORNERS_CAN,
+                             Queries.OBJ_IDX)
+            if m is not None:  # union-batch samples without pose annot.
+                vis = vis * m[:, None]
             pred = preds["corners_3d_abs"] * vis[..., None]
             sym_corners_abs = sym_corners_abs * vis[:, None, :, None]
 
             per_sym = jnp.mean((sym_corners_abs - pred[:, None]) ** 2, axis=(2, 3))  # (B, S)
             big = jnp.asarray(jnp.finfo(per_sym.dtype).max, per_sym.dtype)
             per_sym = jnp.where(sym_valid > 0, per_sym, big)
-            sym_corners_3d_loss = jnp.mean(jnp.min(per_sym, axis=1))
+            sym_corners_3d_loss = masked_sample_mean(jnp.min(per_sym, axis=1), m)
 
             final_loss = final_loss + self.lambda_sym_corners_3d * sym_corners_3d_loss
             losses["sym_corners_3d_loss"] = sym_corners_3d_loss

@@ -149,15 +149,14 @@ def make_fused_train_step(
         synth = synth_fn(key, gen, sidx)
         if not real_batch:
             return synth
-        # runs at trace time -> warns once per compiled key-set
-        from artiboost_tpu.utils.misc import warn_dropped_keys
+        # masked key-UNION (runs at trace time): a side missing a key is
+        # zero-filled + per-sample-masked so every configured loss sees
+        # every mixed batch, matching the reference where MixedDataset
+        # always carries full annotations (criterion.py:57-67)
+        from artiboost_tpu.utils.batching import union_concat
 
-        warn_dropped_keys(real_batch.keys(), synth.keys(),
-                          "make_fused_train_step.assemble")
-        keys = set(real_batch.keys()) & set(synth.keys())
-        return {k: jnp.concatenate(
-            [jnp.asarray(real_batch[k]), jnp.asarray(synth[k])], axis=0)
-            for k in keys}
+        return union_concat([real_batch, synth],
+                            "make_fused_train_step.assemble")
 
     def step(state: TrainState, real_batch: Optional[Dict], gen, sidx,
              key: jax.Array):

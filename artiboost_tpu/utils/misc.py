@@ -19,28 +19,6 @@ class TrainMode(Enum):
     TEST = 2
 
 
-_logged_key_drops = set()
-
-
-def warn_dropped_keys(real_keys, synth_keys, where: str) -> None:
-    """Mixed real/synth batches keep only the key intersection; any key
-    present on one side only silently loses its supervision — warn ONCE
-    per (key-set, site) so a schema regression is visible in the log
-    (VERDICT r2 weak 3)."""
-    real_keys, synth_keys = set(real_keys), set(synth_keys)
-    dropped = (real_keys | synth_keys) - (real_keys & synth_keys)
-    dropped = {k for k in dropped if not str(k).startswith("_")}
-    tag = (frozenset(dropped), where)
-    if dropped and tag not in _logged_key_drops:
-        _logged_key_drops.add(tag)
-        from artiboost_tpu.utils.logger import logger
-
-        logger.warning(
-            f"mixed-batch intersection at {where} drops keys "
-            f"{sorted(str(k) for k in dropped)} — losses/metrics reading "
-            f"them will not see mixed batches")
-
-
 class CONST:
     PI = math.pi
     INT_MAX = 2**32 - 1

@@ -53,8 +53,8 @@ from artiboost_tpu.utils.summarizer import Summarizer
 
 
 def _to_device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if not isinstance(v, (str, list))}
+    return {k: (_to_device_batch(v) if isinstance(v, dict) else jnp.asarray(v))
+            for k, v in batch.items() if not isinstance(v, (str, list))}
 
 
 def _ensure_synth_ids(batch):
