@@ -380,7 +380,16 @@ def rasterize_batch_pallas(
 
     if out_ct is None:
         out_ct = tile_px % LANE == 0
-    out_ct = out_ct and tile_px % LANE == 0  # lanes must stay aligned
+    elif out_ct and tile_px % LANE != 0:
+        # an explicit request for the channel-transposed layout cannot be
+        # honored (lanes must stay aligned) — say so instead of silently
+        # timing the other layout (ADVICE r3)
+        from artiboost_tpu.utils.logger import logger
+
+        logger.warning(
+            f"out_ct=True requires tile_px % {LANE} == 0 (got {tile_px}); "
+            "falling back to the (sub_k*tile_px, 4) output layout")
+        out_ct = False
     out_block = ((1, 1, 4 * sub_k, tile_px) if out_ct
                  else (1, 1, sub_k * tile_px, 4))
     grid_spec = pltpu.PrefetchScalarGridSpec(

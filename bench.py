@@ -84,6 +84,11 @@ def main():
         "value": round(img_per_sec, 1),
         "unit": "images/s",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+        # the denominator is an ESTIMATE: the reference publishes no
+        # throughput number and no GPU exists on this machine (VERDICT r3
+        # weak 4); 300 img/s is a generous figure for torch ResNet34+deconv
+        # eval at batch 100 on 2021-era single-GPU hardware
+        "baseline_kind": "estimated_300_img_per_sec_torch_single_gpu",
         # the number that bounds training: fused step with the synthetic
         # half-batch RENDERED INSIDE the train program (60% synth factor)
         "mixed_train_img_per_sec": mixed,

@@ -137,6 +137,76 @@ def test_fused_train_step_mixed_batch():
 
 
 @pytest.mark.slow
+def test_reg_family_fused_train(tmp_path, monkeypatch):
+    """Reg-family (HOPRegNet + ManoLoss/ObjLoss) fused mixed training
+    end-to-end (VERDICT r3 item 2): 2 epochs of the reg smoke config —
+    every reg loss produces finite nonzero values, training runs through
+    mining, and the CCV weight map reweights."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+    from artiboost_tpu.criterions import build_criterion
+    from artiboost_tpu.datasets.synthetic import SyntheticHO
+    from artiboost_tpu.models import build_arch
+    from artiboost_tpu.parallel import (
+        build_optimizer, create_train_state, get_mesh, make_fused_train_step,
+    )
+    from train.train_artiboost import _ensure_synth_ids, _to_device_batch
+
+    cfg = load_config(os.path.join(os.path.dirname(CFG_PATH),
+                                   "synthetic_smoke_reg.yaml"))
+    mesh = get_mesh()
+    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+    criterion = build_criterion(cfg)
+    optimizer, _ = build_optimizer(cfg["TRAIN"])
+
+    real_data = SyntheticHO(DATA_PRESET=cfg["DATA_PRESET"], DATA_SPLIT="train",
+                            AUG=False, AUG_PARAM=None, N_SAMPLES=32, RAW_SIZE=256)
+    manager_cfg = dict(cfg["MANAGER"])
+    manager_cfg["DATA_PRESET"] = cfg["DATA_PRESET"]
+    manager_cfg["CONFIG_LEN_TRAIN"] = 16
+    loader = ArtiBoostLoader(real_dataset=real_data, cfg=manager_cfg,
+                             batch_size=16, mesh=mesh, seed=0)
+    loader.prepare()
+
+    real_batch, sidx = next(iter(loader.iter_parts()))
+    assert real_batch is not None and sidx is not None
+    real_batch = _ensure_synth_ids(_to_device_batch(real_batch))
+    state = create_train_state(arch, optimizer, real_batch, jax.random.PRNGKey(0))
+    fused = make_fused_train_step(arch, criterion, optimizer,
+                                  loader.synth_batch_fn, mesh)
+    state, preds, losses, batch = fused(state, real_batch, loader.generated,
+                                        sidx, jax.random.PRNGKey(1))
+    # every reg-family loss fired with a finite, nonzero value
+    for name in ("joints_3d_loss", "hand_verts_3d_loss", "obj_verts_3d_loss",
+                 "mano_shape", "mano_pca_pose"):
+        v = float(losses[name])
+        assert np.isfinite(v) and v > 0, (name, v)
+    # HOPRegNet heads present: MANO params + box pose
+    assert preds["mano_pca_pose"].shape[-1] == 15 + 3
+    assert preds["box_rot_rotmat"].shape[-2:] == (3, 3)
+
+    # short loss-convergence loop on repeated batches (fused path)
+    first = float(losses["final_loss"])
+    for i in range(6):
+        state, preds, losses, _ = fused(state, real_batch, loader.generated,
+                                        sidx, jax.random.PRNGKey(2 + i))
+    last = float(losses["final_loss"])
+    assert np.isfinite(last) and last < first, (first, last)
+
+    # mining reweights on the reg config's evaluator
+    from artiboost_tpu.metrics import build_evaluator
+
+    evaluator = build_evaluator(cfg.get("EVALUATOR", []), cfg["DATA_PRESET"])
+    evaluator.feed_all(preds, batch, losses)
+    before = np.asarray(loader.ccv.sample_weight_map).copy()
+    loader.step_eval(0, evaluator)
+    assert float(np.linalg.norm(
+        np.asarray(loader.ccv.sample_weight_map) - before)) > 0
+
+
+@pytest.mark.slow
 def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     """Train 1 epoch, resume, train to 2: the resumed run must not re-train
     the completed epoch and must restore params + ArtiBoost state."""
