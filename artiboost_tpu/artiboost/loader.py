@@ -161,6 +161,7 @@ class ArtiBoostLoader:
             lod_faces=int(rend_cfg.get("LOD_FACES", -1)),
             textured=bool(rend_cfg.get("TEXTURED", True)),
             bilinear=bool(rend_cfg.get("BILINEAR", False)),
+            tex_subsample=int(rend_cfg.get("TEX_SUBSAMPLE", 2)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),

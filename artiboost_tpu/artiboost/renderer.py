@@ -416,6 +416,7 @@ def sample_textures(
                               # kernel's page attribute channel)
     tex: SceneTextures,
     bilinear: bool = False,
+    subsample: int = 1,
 ) -> jnp.ndarray:
     """Per-pixel texture gather + shade multiply -> rgb (B, H, W, 3).
 
@@ -430,8 +431,29 @@ def sample_textures(
     Default is nearest-texel. Bilinear costs a second row gather +
     per-channel two-hot reduces; at a 224^2 render-at-crop the texel
     density of 256^2 pages exceeds pixel density, so nearest matches GL
-    bilinear to within the quantization floor almost everywhere."""
+    bilinear to within the quantization floor almost everywhere.
+
+    ``subsample`` s > 1 fetches ALBEDO once per s x s pixel quad (the
+    row gather is the dominant texture cost — traffic drops s^2 x) and
+    nearest-upsamples it; shade/depth/silhouettes stay per-pixel. The
+    quad's representative is its max (page, uv) pack, so a quad touching
+    a silhouette picks a FOREGROUND pixel's texel, never background
+    garbage. Quality is bounded by the texture's own per-texel gradient
+    (measured: see docs/PERF.md round 4)."""
     P, T = tex.atlas.shape[0], tex.atlas.shape[1]
+    full_shape = page.shape
+    if subsample > 1:
+        s = subsample
+        B_, H_, W_ = full_shape
+        assert H_ % s == 0 and W_ % s == 0, (full_shape, s)
+        # pack (page8, u12v12) into one int32 (quv < 2^24 exactly): one
+        # max over the quad picks a consistent (page, texel) pair, and
+        # background (page 0, quv 0) loses to any foreground pixel
+        ci = (page.astype(jnp.int32) << 24) | uv_packed.astype(jnp.int32)
+        ci = ci.reshape(B_, H_ // s, s, W_ // s, s)
+        ci = jnp.max(jnp.max(ci, axis=4), axis=2)  # (B, H/s, W/s)
+        page = ci >> 24
+        uv_packed = (ci & 0x00FFFFFF).astype(jnp.float32)
     n_win = max(1, -(-(T - 1) // 127))
     # pack once per program — constants under jit, XLA hoists this
     a8 = jnp.floor(jnp.clip(tex.atlas, 0.0, 1.0) * 255.0 + 0.5)
@@ -482,6 +504,9 @@ def sample_textures(
                         for c in unpack(fetch_rows(win, y0.reshape(-1) + 1))], -1)
         albedo = (1.0 - wy) * a0 + wy * a1
     albedo = albedo.reshape(shape + (3,)) * (1.0 / 255.0)
+    if subsample > 1:
+        albedo = jnp.repeat(jnp.repeat(albedo, subsample, axis=1),
+                            subsample, axis=2)
     return jnp.clip(albedo * shade[..., None], 0.0, 1.0)
 
 
@@ -532,6 +557,8 @@ def render_scene(
     sub_k: Optional[int] = None,    # None = measured per-resolution auto)
     texturing: Optional[SceneTextures] = None,  # per-pixel UV sampling
     bilinear: bool = False,
+    tex_subsample: int = 1,  # albedo fetch once per s x s quad (see
+                             # sample_textures; shade stays per-pixel)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -564,7 +591,8 @@ def render_scene(
             vs, attrs, faces, face_valid, height, width,
             cull_backfaces=cull_backfaces, tile_px=tile_px, sub_k=sub_k,
             uv_mode=True)
-        rgb = sample_textures(quv, sh, pg, texturing, bilinear=bilinear)
+        rgb = sample_textures(quv, sh, pg, texturing, bilinear=bilinear,
+                              subsample=tex_subsample)
     else:
         shaded = jax.vmap(
             lambda v, n, c, li: shade_vertices(

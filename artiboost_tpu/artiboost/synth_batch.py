@@ -74,6 +74,12 @@ class SynthConfig(NamedTuple):
     # fallback when texture assets are absent)
     textured: bool = True
     bilinear: bool = False
+    # albedo fetched once per s x s pixel quad (shade/edges per-pixel);
+    # the texel row gather dominates texture cost. Default 2 measured
+    # -12.5 ms/batch at B=128 @224^2 with mean abs image delta 0.005
+    # (probe_texsub.py; fused train +10%) — set 1 for exact per-pixel
+    # fetch. See renderer.sample_textures + docs/PERF.md round 4.
+    tex_subsample: int = 2
     # rasterizer tile-shape overrides (None = per-resolution auto; the
     # LOD default below is from the on-chip sweep in script/probe_lod.py)
     tile_px: int = None
@@ -276,7 +282,8 @@ def make_synth_batch_fn(
             motion_blur=cfg.motion_blur,
             motion_blur_prob=cfg.motion_blur_prob,
             tile_px=tile_px, sub_k=sub_k,
-            texturing=texturing, bilinear=cfg.bilinear)
+            texturing=texturing, bilinear=cfg.bilinear,
+            tex_subsample=cfg.tex_subsample)
 
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma

@@ -76,18 +76,26 @@ class HOSubmitEpochPass(SubmitEpochPass):
                 zf.write(pred_out_path, os.path.basename(pred_out_path))
             logger.warning(f"finished — submit {zipped} to Codalab for evaluation")
 
+    # box corner index = bit(x)*4 + bit(y)*2 + bit(z) (object_library
+    # _bbox_corners order) -> the cuboid's 12 triangles
+    BOX_TRIS = np.asarray(
+        [(0, 1, 3), (0, 3, 2), (4, 5, 7), (4, 7, 6),
+         (0, 1, 5), (0, 5, 4), (2, 3, 7), (2, 7, 6),
+         (0, 2, 6), (0, 6, 4), (1, 3, 7), (1, 7, 5)], np.int32)
+
     def draw_batch(self, bidx: int, batch, preds, fitted_verts=None) -> None:
         """Save qualitative overlays for a batch (parity:
-        ``anakin/submit/hodata_submit_epoch_pass.py:158-222`` — OpenDR mesh
-        renders replaced by host-side skeleton/corner/wireframe overlays
-        from ``artiboost_tpu.viztools``)."""
+        ``anakin/submit/hodata_submit_epoch_pass.py:158-222``): SOLID
+        shaded hand/object meshes rendered by the in-tree rasterizer on
+        the host (replacing the reference's OpenDR renders), plus the
+        skeleton / corner-cube annotation overlays."""
         from PIL import Image
 
         from artiboost_tpu.datasets.hoquery import Queries
         from artiboost_tpu.mano.model import get_mano_model
-        from artiboost_tpu.viztools import (draw_corners_2d, draw_mesh_wireframe,
-                                            draw_skeleton_2d, image_grid,
-                                            project_points)
+        from artiboost_tpu.viztools import (draw_corners_2d, draw_skeleton_2d,
+                                            image_grid, project_points,
+                                            render_mesh_overlay)
 
         os.makedirs(self.draw_path, exist_ok=True)
         imgs = np.asarray(batch[Queries.IMAGE]) + 0.5
@@ -98,12 +106,18 @@ class HOSubmitEpochPass(SubmitEpochPass):
         tiles = []
         for i in range(min(imgs.shape[0], 16)):
             tile = Image.fromarray((imgs[i] * 255).clip(0, 255).astype(np.uint8))
+            meshes = []
+            if fitted_verts is not None:  # MANO skin tone (opendr_renderer)
+                meshes.append((fitted_verts[i],
+                               np.asarray(get_mano_model().faces),
+                               (0.8, 0.62, 0.52)))
+            if corners is not None:  # predicted object pose as a solid box
+                meshes.append((corners[i], self.BOX_TRIS, (0.35, 0.6, 0.9)))
+            if meshes:
+                render_mesh_overlay(tile, meshes, intr[i])
             draw_skeleton_2d(tile, project_points(joints[i], intr[i]))
             if corners is not None:
                 draw_corners_2d(tile, project_points(corners[i], intr[i]))
-            if fitted_verts is not None:
-                draw_mesh_wireframe(tile, fitted_verts[i],
-                                    np.asarray(get_mano_model().faces), intr[i])
             tiles.append(np.asarray(tile))
         grid = image_grid(tiles, ncol=4)
         grid.save(os.path.join(self.draw_path, f"eval_batch_{bidx:04d}.png"))

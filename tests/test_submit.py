@@ -101,6 +101,93 @@ def test_padded_host_loader_covers_every_sample():
     np.testing.assert_array_equal(np.sort(seen), np.arange(10))
 
 
+def test_render_mesh_overlay_solid_shading(tmp_path):
+    """Solid-shaded mesh overlay (VERDICT r3 item 7, replacing the
+    reference's OpenDR renders): filled pixels inside the mesh
+    silhouette, untouched pixels outside, z-test between two meshes."""
+    from PIL import Image
+
+    from artiboost_tpu.viztools import render_mesh_overlay
+
+    H = W = 64
+    img = Image.fromarray(np.zeros((H, W, 3), np.uint8))
+    intr = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    # a near red square (two triangles) occluding a far blue one
+    def quad(z, half):
+        return np.array([[-half, -half, z], [half, -half, z],
+                         [-half, half, z], [half, half, z]], np.float32)
+
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    out = render_mesh_overlay(
+        img, [(quad(0.5, 0.05), faces, (1.0, 0.0, 0.0)),
+              (quad(0.8, 0.12), faces, (0.0, 0.0, 1.0))], intr, alpha=1.0)
+    px = np.asarray(out, np.float32) / 255.0
+    # center: near RED wins the z-test (solid fill, not wireframe)
+    assert px[32, 32, 0] > 0.3 and px[32, 32, 2] < 0.1
+    # inside the far quad (|x| < 0.12*100/0.8 = 15px) but outside the
+    # near one (|x| < 0.05*100/0.5 = 10px): BLUE
+    assert px[32, 45, 2] > 0.3 and px[32, 45, 0] < 0.1
+    # outside both: untouched background
+    assert px[2, 2].max() == 0.0
+    # the overlay writes a file fine
+    out.save(str(tmp_path / "overlay.png"))
+    assert (tmp_path / "overlay.png").is_file()
+
+
+def test_draw_batch_solid_meshes(tmp_path):
+    """--postprocess_draw with fitted hand verts + predicted box: the
+    dumped grid contains solid shaded meshes."""
+    class _DrawArg(_Arg):
+        submit_dump = False
+        postprocess_draw = True
+        postprocess_fit_mesh = False
+        postprocess_draw_path = None
+
+    from artiboost_tpu.mano.model import get_mano_model
+    from artiboost_tpu.submit.epoch_pass import HOSubmitEpochPass
+
+    B = 2
+    rng = np.random.RandomState(0)
+    arg = _DrawArg()
+    arg.postprocess_draw_path = str(tmp_path / "draw")
+    pass_ = SubmitEpochPass.build("hodata", arg=arg)
+    intr = np.tile(np.array([[435.0, 0, 112], [0, 435.0, 112], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    batch = {"image": np.zeros((B, 224, 224, 3), np.float32) - 0.5,
+             "cam_intr": intr}
+    mano = get_mano_model()
+    hand_verts = np.asarray(mano.v_template) + [0, 0, 0.5]
+    preds = {"joints_3d_abs": rng.randn(B, 21, 3).astype(np.float32) * 0.02
+             + [0, 0, 0.5],
+             "corners_3d_abs": rng.randn(B, 8, 3).astype(np.float32) * 0.03
+             + [0.08, 0, 0.5]}
+    pass_.draw_batch(0, batch, preds,
+                     fitted_verts=np.tile(hand_verts[None], (B, 1, 1)))
+    files = os.listdir(arg.postprocess_draw_path)
+    assert files == ["eval_batch_0000.png"]
+    from PIL import Image
+    grid = np.asarray(Image.open(
+        os.path.join(arg.postprocess_draw_path, files[0])), np.float32)
+    # solid fills cover far more area than skeleton/wireframe lines would
+    assert (grid.max(-1) > 20).mean() > 0.02
+
+
+def test_plot_mesh_3d(tmp_path):
+    """3D mesh inspection figure (mayavi-equivalent, reference
+    draw.py:236) renders and saves."""
+    from artiboost_tpu.mano.model import get_mano_model
+    from artiboost_tpu.viztools import plot_mesh_3d
+
+    mano = get_mano_model()
+    rng = np.random.RandomState(0)
+    out = str(tmp_path / "mesh3d.png")
+    plot_mesh_3d(np.asarray(mano.v_template), np.asarray(mano.faces),
+                 joints_3d=rng.randn(21, 3).astype(np.float32) * 0.03,
+                 corners_3d=rng.randn(8, 3).astype(np.float32) * 0.05,
+                 save_path=out)
+    assert os.path.getsize(out) > 1000
+
+
 def test_draw_batch(tmp_path):
     class _DrawArg(_Arg):
         submit_dump = False

@@ -143,6 +143,49 @@ class TestSampleTextures:
         want = atlas[pages, tys, txs]
         np.testing.assert_allclose(rgb, want, atol=1.0 / 255.0 + 1e-6)
 
+    def test_subsample_uniform_page_exact(self):
+        """With a constant-color page, quad-subsampled albedo is exact and
+        shade stays per-pixel."""
+        from artiboost_tpu.artiboost.renderer import SceneTextures, sample_textures
+
+        T = 8
+        atlas = np.full((1, T, T, 3), 0.5, np.float32)
+        tex = SceneTextures(atlas=jnp.asarray(atlas),
+                            hand_page=jnp.asarray([0]),
+                            obj_page=jnp.asarray([0]),
+                            uv=jnp.zeros((1, 1, 2)), n_hand_faces=1,
+                            n_hand_verts=1)
+        rng = np.random.RandomState(0)
+        quv = jnp.asarray(
+            np.floor(rng.rand(1, 4, 4) * 4095) * 4096
+            + np.floor(rng.rand(1, 4, 4) * 4095))
+        shade = jnp.asarray(rng.rand(1, 4, 4).astype(np.float32))
+        page = jnp.zeros((1, 4, 4), jnp.int32)
+        full = np.asarray(sample_textures(quv, shade, page, tex))
+        sub = np.asarray(sample_textures(quv, shade, page, tex, subsample=2))
+        np.testing.assert_allclose(sub, full, atol=1e-6)
+
+    def test_subsample_foreground_bias(self):
+        """A quad straddling a silhouette picks a FOREGROUND pixel's
+        (page, texel), never the background zeros."""
+        from artiboost_tpu.artiboost.renderer import SceneTextures, sample_textures
+
+        T = 8
+        atlas = np.zeros((2, T, T, 3), np.float32)
+        atlas[1] = [0.0, 1.0, 0.0]  # fg page: green
+        tex = SceneTextures(atlas=jnp.asarray(atlas),
+                            hand_page=jnp.asarray([0]),
+                            obj_page=jnp.asarray([1]),
+                            uv=jnp.zeros((1, 1, 2)), n_hand_faces=1,
+                            n_hand_verts=1)
+        # one fg pixel (page 1) in a 2x2 quad of background zeros
+        quv = jnp.zeros((1, 2, 2), jnp.float32).at[0, 1, 1].set(
+            2000.0 * 4096 + 2000.0)
+        shade = jnp.ones((1, 2, 2))
+        page = jnp.zeros((1, 2, 2), jnp.int32).at[0, 1, 1].set(1)
+        rgb = np.asarray(sample_textures(quv, shade, page, tex, subsample=2))
+        np.testing.assert_allclose(rgb[0, 1, 1], [0.0, 1.0, 0.0], atol=1e-5)
+
     def test_bilinear_blends(self):
         from artiboost_tpu.artiboost.renderer import SceneTextures, sample_textures
 
