@@ -14,7 +14,7 @@ from artiboost_tpu.datasets.hoquery import Queries
 from artiboost_tpu.models.hpregnet import ManoBranch, TransHead
 from artiboost_tpu.models.resnet import ResNet
 from artiboost_tpu.utils.registry import MODEL, build_backbone, build_head
-from artiboost_tpu.utils.transform import batch_persp_proj2d, rot6d_to_rotmat
+from artiboost_tpu.utils.transform import aa_to_rotmat, batch_persp_proj2d
 
 
 def recover_3d_proj(
@@ -65,19 +65,35 @@ class HoNet(nn.Module):
         )
         hand_verts_3d_abs = mano_results["hand_verts_3d"] + root_joint
 
-        # object: scale/trans + rotation (6 dim head), relative lift
+        # object: 6-dim head = scale (1) + pixel trans (2) + AXIS-ANGLE
+        # rotation (3), rodrigues'd to a rotmat (reference
+        # honetMANO.py:192-198 — NOT a 6D rotation head)
         scaletrans_obj = TransHead(out_dim=6, name="obj_transhead")(feature)
         obj_scale = scaletrans_obj[:, 0:1] * self.obj_scale_factor
         obj_trans = scaletrans_obj[:, 1:3] * self.obj_trans_factor
-        obj_rot6d_like = scaletrans_obj[:, :6]
-        rotmat = rot6d_to_rotmat(obj_rot6d_like)
+        rotaxisang = scaletrans_obj[:, 3:6]
+        rotmat = aa_to_rotmat(rotaxisang)
         corners_can = inputs[Queries.CORNERS_CAN]
         obj_corners = jnp.einsum("bij,bnj->bni", rotmat, corners_can)
         corners_3d_abs, obj_center = recover_3d_proj(
             obj_corners, cam_intr, obj_scale, obj_trans, (width, height)
         )
 
+        out = {}
+        if Queries.OBJ_VERTS_CAN in inputs:
+            # reference honetMANO.py:200-236: canonical obj verts ride the
+            # same rot + recovered center
+            overts = jnp.einsum("bij,bnj->bni", rotmat,
+                                inputs[Queries.OBJ_VERTS_CAN])
+            obj_verts_3d_abs = overts + obj_center
+            out.update({
+                "obj_verts_3d_abs": obj_verts_3d_abs,
+                "obj_verts_3d": obj_verts_3d_abs - root_joint,
+                "obj_verts_2d": batch_persp_proj2d(obj_verts_3d_abs, cam_intr),
+            })
+
         return {
+            **out,
             "joints_3d_abs": joints_3d_abs,
             "joints_3d": mano_results["joints_3d"],
             "hand_verts_3d_abs": hand_verts_3d_abs,
@@ -85,7 +101,8 @@ class HoNet(nn.Module):
             "joints_2d": batch_persp_proj2d(joints_3d_abs, cam_intr),
             "hand_verts_2d": batch_persp_proj2d(hand_verts_3d_abs, cam_intr),
             "corners_3d_abs": corners_3d_abs,
-            "corners_3d": corners_3d_abs - obj_center,
+            # root-relative to the HAND root (honetMANO.py:250)
+            "corners_3d": corners_3d_abs - root_joint,
             "corners_2d": batch_persp_proj2d(corners_3d_abs, cam_intr),
             "box_rot_rotmat": rotmat,
             "boxroot_3d_abs": obj_center,

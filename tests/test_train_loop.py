@@ -207,6 +207,67 @@ def test_reg_family_fused_train(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_honet_fused_train(tmp_path, monkeypatch):
+    """HoNet full-loop proof (VERDICT r3 item 8): the focal-scale-lifting
+    model trains through the fused mixed path — finite nonzero losses
+    from ManoLoss/ObjLoss/JointsLoss, loss decreases, and the axis-angle
+    object head produces valid rotations."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+    from artiboost_tpu.criterions import build_criterion
+    from artiboost_tpu.datasets.synthetic import SyntheticHO
+    from artiboost_tpu.models import build_arch
+    from artiboost_tpu.parallel import (
+        build_optimizer, create_train_state, get_mesh, make_fused_train_step,
+    )
+    from train.train_artiboost import _ensure_synth_ids, _to_device_batch
+
+    cfg = load_config(os.path.join(os.path.dirname(CFG_PATH),
+                                   "synthetic_smoke_honet.yaml"))
+    mesh = get_mesh()
+    arch = build_arch(cfg["ARCH"], cfg["DATA_PRESET"])
+    criterion = build_criterion(cfg)
+    optimizer, _ = build_optimizer(cfg["TRAIN"])
+
+    real_data = SyntheticHO(DATA_PRESET=cfg["DATA_PRESET"], DATA_SPLIT="train",
+                            AUG=False, AUG_PARAM=None, N_SAMPLES=32, RAW_SIZE=256)
+    manager_cfg = dict(cfg["MANAGER"])
+    manager_cfg["DATA_PRESET"] = cfg["DATA_PRESET"]
+    manager_cfg["CONFIG_LEN_TRAIN"] = 16
+    loader = ArtiBoostLoader(real_dataset=real_data, cfg=manager_cfg,
+                             batch_size=16, mesh=mesh, seed=0)
+    loader.prepare()
+
+    real_batch, sidx = next(iter(loader.iter_parts()))
+    real_batch = _ensure_synth_ids(_to_device_batch(real_batch))
+    state = create_train_state(arch, optimizer, real_batch, jax.random.PRNGKey(0))
+    fused = make_fused_train_step(arch, criterion, optimizer,
+                                  loader.synth_batch_fn, mesh)
+    state, preds, losses, batch = fused(state, real_batch, loader.generated,
+                                        sidx, jax.random.PRNGKey(1))
+    for name in ("joints_3d_loss", "hand_verts_3d_loss", "obj_verts_3d_loss"):
+        v = float(losses[name])
+        assert np.isfinite(v) and v > 0, (name, v)
+    # axis-angle object head yields orthonormal rotations (honetMANO
+    # parity: rodrigues on dims 3:6, not a 6D head)
+    R = np.asarray(preds["box_rot_rotmat"])
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.tile(np.eye(3), (R.shape[0], 1, 1)),
+                               atol=1e-5)
+    # the model predicts its own absolute root (recover_3d_proj)
+    assert "root_joint" in preds
+
+    first = float(losses["final_loss"])
+    for i in range(6):
+        state, preds, losses, _ = fused(state, real_batch, loader.generated,
+                                        sidx, jax.random.PRNGKey(2 + i))
+    assert np.isfinite(float(losses["final_loss"]))
+    assert float(losses["final_loss"]) < first
+
+
+@pytest.mark.slow
 def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     """Train 1 epoch, resume, train to 2: the resumed run must not re-train
     the completed epoch and must restore params + ArtiBoost state."""
