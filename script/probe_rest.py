@@ -28,6 +28,8 @@ ORIG = {
     "jitter": R._color_jitter,
     "rotate": PG.rotate_hand_global,
     "sample": R.sample_textures,
+    "render_scene": R.render_scene,
+    "decode": PG.decode_final_hand,
 }
 
 
@@ -54,15 +56,46 @@ def restore():
     R._color_jitter = ORIG["jitter"]
     PG.rotate_hand_global = ORIG["rotate"]
     R.sample_textures = ORIG["sample"]
+    R.render_scene = ORIG["render_scene"]
+    PG.decode_final_hand = ORIG["decode"]
     # synth_batch imported the names at module load — repoint those too
     SB._gaussian_blur = R._gaussian_blur
     SB._color_jitter = R._color_jitter
     SB.rotate_hand_global = PG.rotate_hand_global
+    SB.render_scene = R.render_scene
+    SB.decode_final_hand = PG.decode_final_hand
 
 
 def ablate(name):
     restore()
-    if name == "no_blur_jitter":
+    if name == "no_bg":
+        orig_rs = R.render_scene
+
+        def rs_nobg(verts, colors, faces, face_valid, intr, backgrounds,
+                    key, height, width, **kw):
+            import numpy as _np
+            one_bg = backgrounds[:1, :height, :width]
+            return orig_rs(verts, colors, faces, face_valid, intr,
+                           jnp.broadcast_to(one_bg, (1,) + one_bg.shape[1:]),
+                           key, height, width, **kw)
+
+        SB.render_scene = rs_nobg
+    elif name == "no_decode":
+        orig_dec = PG.decode_final_hand
+        cache = {}
+
+        def dec_cached(model, gen, idx):
+            k = id(gen)
+            if k not in cache:
+                cache[k] = orig_dec(model, gen, jnp.arange(idx.shape[0]))
+            out = cache[k]
+            # keep a data dependency on idx so the dataflow stays intact
+            return {kk: vv + 0.0 * idx[0] if vv.dtype.kind == "f" else vv
+                    for kk, vv in out.items()}
+
+        PG.decode_final_hand = dec_cached
+        SB.decode_final_hand = dec_cached
+    elif name == "no_blur_jitter":
         SB._gaussian_blur = lambda img, sigma, radius=3: img
         SB._color_jitter = lambda img, key, **kw: img
     elif name == "no_hand_annot":
@@ -77,7 +110,9 @@ def ablate(name):
 def main():
     print("devices:", jax.devices(), flush=True)
     gen = None
-    for name in ("full", "no_blur_jitter", "no_hand_annot", "flat_albedo"):
+    names = (sys.argv[1:] if sys.argv[1:] else
+             ["full", "no_blur_jitter", "no_hand_annot", "flat_albedo"])
+    for name in names:
         ablate(name)
         try:
             loader = make_loader()
@@ -89,6 +124,8 @@ def main():
         finally:
             restore()
 
+    if sys.argv[1:]:
+        return  # explicit ablation list: skip the tile sweep
     for tile_px, sub_k in ((512, 8), (1024, 4), (1024, 8), (2048, 2), (2048, 4)):
         loader = make_loader(tile_px, sub_k)
         t = timed(jax.jit(loader.synth_batch_fn), gen)
