@@ -162,6 +162,7 @@ class ArtiBoostLoader:
             textured=bool(rend_cfg.get("TEXTURED", True)),
             bilinear=bool(rend_cfg.get("BILINEAR", False)),
             tex_subsample=int(rend_cfg.get("TEX_SUBSAMPLE", 2)),
+            image_bf16=bool(rend_cfg.get("IMAGE_BF16", False)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),

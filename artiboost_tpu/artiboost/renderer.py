@@ -361,10 +361,12 @@ def build_scene_incidence(hand_faces, obj_lib: ObjectLibrary,
 
 
 def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
-    """Separable gaussian blur with per-sample sigma (B, H, W, 3)."""
+    """Separable gaussian blur with per-sample sigma (B, H, W, 3).
+    dtype-preserving: a bf16 image stays bf16 throughout (the synth
+    pipeline runs its post-render image passes in bf16, see synth_batch)."""
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-3)) ** 2)  # (B, K)
-    k = k / jnp.sum(k, axis=1, keepdims=True)
+    k = (k / jnp.sum(k, axis=1, keepdims=True)).astype(img.dtype)
 
     def blur_one(im, kk):
         imh = jnp.pad(im, ((radius, radius), (0, 0), (0, 0)), mode="edge")
@@ -524,9 +526,13 @@ def _color_jitter(img: jnp.ndarray, key: jax.Array,
                   brightness=0.3, contrast=0.3, saturation=0.3) -> jnp.ndarray:
     B = img.shape[0]
     kb, kc, ks = jax.random.split(key, 3)
-    b = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
-    c = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
-    s = jax.random.uniform(ks, (B, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    dt = img.dtype  # dtype-preserving (bf16 image path, see synth_batch)
+    b = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness,
+                           maxval=1 + brightness).astype(dt)
+    c = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast,
+                           maxval=1 + contrast).astype(dt)
+    s = jax.random.uniform(ks, (B, 1, 1, 1), minval=1 - saturation,
+                           maxval=1 + saturation).astype(dt)
     img = img * b
     mean = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
     img = (img - mean) * c + mean

@@ -64,10 +64,12 @@ class SynthConfig(NamedTuple):
     # per-tile-overhead-bound, so halving faces buys less than 2x
     cull_backfaces: bool = True
     # render LOD: per-component face budget for the decimated RENDER
-    # geometry (supervision tensors stay full-res). -1 = auto (512 faces
-    # per component at <=256px render-at-crop, off above — mesh detail
-    # is sub-pixel at a 224x224 crop, ops/decimate.py), 0 = off, >0
-    # explicit budget.
+    # geometry (supervision tensors stay full-res). -1 = auto (128 faces
+    # per component at <=256px render-at-crop since round 4: synth 57.6
+    # vs 72.5 ms at budget 256, mean abs image delta between the two
+    # 0.0113 — off above 256px; mesh detail is sub-pixel at a 224x224
+    # crop, ops/decimate.py), 0 = off, >0 explicit budget (LOD_FACES:
+    # 256 is the conservative round-3 point).
     lod_faces: int = -1
     # per-pixel UV texture sampling (parity: the reference samples
     # textures per fragment in GL; Gouraud vertex colors are the
@@ -80,6 +82,12 @@ class SynthConfig(NamedTuple):
     # (probe_texsub.py; fused train +10%) — set 1 for exact per-pixel
     # fetch. See renderer.sample_textures + docs/PERF.md round 4.
     tex_subsample: int = 2
+    # post-render image passes (blur/jitter/normalize) in bf16. Measured
+    # NEUTRAL on-chip (66.6 vs 66.5 ms, probe_rest round 4 — the image
+    # tail is op-bound, not bandwidth-bound), so the default stays f32;
+    # the knob remains for memory-constrained configs. When on, IMAGE is
+    # emitted bf16 (training casts to bf16 at the backbone anyway).
+    image_bf16: bool = False
     # rasterizer tile-shape overrides (None = per-resolution auto; the
     # LOD default below is from the on-chip sweep in script/probe_lod.py)
     tile_px: int = None
@@ -133,7 +141,7 @@ def make_synth_batch_fn(
     # 1.94x) with golden-bounded image deltas (tests/test_decimate.py)
     lod_faces = cfg.lod_faces
     if lod_faces < 0:
-        lod_faces = 256 if cfg.image_size <= 256 else 0
+        lod_faces = 128 if cfg.image_size <= 256 else 0
     lod = None
     if lod_faces > 0:
         lod = build_scene_lod(
@@ -285,6 +293,8 @@ def make_synth_batch_fn(
             texturing=texturing, bilinear=cfg.bilinear,
             tex_subsample=cfg.tex_subsample)
 
+        if cfg.image_bf16:
+            img = img.astype(jnp.bfloat16)
         if cfg.aug:
             sigma = jax.random.uniform(keys[5], (B,)) * cfg.blur_max_sigma
             img = _gaussian_blur(img, sigma)
@@ -333,7 +343,7 @@ def make_synth_batch_fn(
         )
 
         return {
-            Queries.IMAGE: img - 0.5,  # normalize mean .5, std 1
+            Queries.IMAGE: img - jnp.asarray(0.5, img.dtype),  # mean .5, std 1
             Queries.CAM_INTR: new_intr,
             Queries.JOINTS_3D: joints_3d_r - root_joint[:, None],
             Queries.JOINTS_2D: joints_2d,

@@ -41,15 +41,22 @@ def _vertex_normals_np(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return vn / np.maximum(norm, 1e-12)
 
 
-def _cluster_ids(verts: np.ndarray, faces: np.ndarray, g: int) -> np.ndarray:
-    """(V,) cluster id per vertex on a g^3 grid x 6 normal half-axes."""
+def _cluster_ids(verts: np.ndarray, faces: np.ndarray, h: float) -> np.ndarray:
+    """(V,) cluster id per vertex on a uniform grid of CELL SIZE ``h``
+    (metric units) x 6 normal half-axes. A continuous cell size — rather
+    than an integer per-axis resolution — makes the achievable face
+    counts near-continuous in h, so the budget search can actually land
+    near any target (an integer g^3 grid jumps e.g. 20 -> 180 faces
+    between consecutive g on the MANO hand)."""
     lo = verts.min(0)
     extent = np.maximum(verts.max(0) - lo, 1e-9)
-    cell = (np.minimum((verts - lo) / extent * g, g - 1e-4)).astype(np.int64)
+    n_cells = np.maximum(np.ceil(extent / max(h, 1e-9)), 1.0).astype(np.int64)
+    cell = np.minimum((verts - lo) / max(h, 1e-9), n_cells - 1e-4).astype(np.int64)
     vn = _vertex_normals_np(verts, faces)
     axis = np.abs(vn).argmax(1)
     bucket = axis * 2 + (np.take_along_axis(vn, axis[:, None], 1)[:, 0] > 0)
-    return ((cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]) * 6 + bucket
+    return ((cell[:, 0] * n_cells[1] + cell[:, 1]) * n_cells[2]
+            + cell[:, 2]) * 6 + bucket
 
 
 def _collapse(verts: np.ndarray, faces: np.ndarray, cid: np.ndarray
@@ -69,18 +76,19 @@ def _collapse(verts: np.ndarray, faces: np.ndarray, cid: np.ndarray
 
 
 def _search_grid(verts: np.ndarray, faces: np.ndarray, target_faces: int,
-                 g_max: int = 96) -> int:
-    """Smallest grid resolution whose decimation keeps <= target faces
-    (faces(g) grows with g; binary search, then step down if needed)."""
-    lo, hi = 1, g_max
-    while lo < hi:  # largest g with faces <= target
-        mid = (lo + hi + 1) // 2
+                 iters: int = 28) -> float:
+    """Largest cell size h whose decimation keeps <= target faces
+    (face count shrinks as h grows; float binary search on h)."""
+    extent = float(np.max(verts.max(0) - verts.min(0)))
+    lo, hi = extent / 512.0, extent  # lo ~ full-res, hi ~ one cell/axis
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
         _, nf, _ = _collapse(verts, faces, _cluster_ids(verts, faces, mid))
         if nf.shape[0] <= target_faces:
-            lo = mid
+            hi = mid  # small enough face count: try finer cells
         else:
-            hi = mid - 1
-    return lo
+            lo = mid
+    return hi
 
 
 def decimate_mesh(
