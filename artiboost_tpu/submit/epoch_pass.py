@@ -168,9 +168,12 @@ class HOSubmitEpochPass(SubmitEpochPass):
                 pj[:, :, 0] = -pj[:, :, 0]
                 res_joints.extend([-p for p in pj])
                 if fitted_verts is not None:
-                    fv = fitted_verts[:n_valid].copy()
-                    fv[:, :, 0] = -fv[:, :, 0]
-                    res_verts.extend([-v for v in fv])
+                    # parity quirk: the reference appends fitted verts RAW
+                    # (camera frame, hodata_submit_epoch_pass.py:148-149)
+                    # even though its joints get the (x,-y,-z) Codalab
+                    # flip — submission-file fidelity means matching that
+                    # asymmetry exactly, not "fixing" it
+                    res_verts.extend([v for v in fitted_verts[:n_valid]])
                 else:
                     res_verts.extend([np.zeros((778, 3))] * pj.shape[0])
 

@@ -67,6 +67,47 @@ def test_joint_order_constant_matches_reference():
     assert list(MANO_TO_OPENPOSE_ORDER) == REF_REORDER_IDXS
 
 
+def test_fitted_verts_dumped_raw_like_reference(tmp_path):
+    """Parity quirk: the reference appends fitted verts RAW (camera
+    frame, hodata_submit_epoch_pass.py:148-149) while its joints get the
+    (x,-y,-z) Codalab flip — the dump must reproduce that asymmetry."""
+    from artiboost_tpu.submit.epoch_pass import SubmitEpochPass
+
+    class _FitArg:
+        submit_dump = True
+        postprocess_fit_mesh = True
+        postprocess_fit_mesh_use_fitted_joints = False
+        postprocess_draw = False
+        postprocess_draw_path = None
+
+    B = 3
+    rng = np.random.RandomState(0)
+    joints = rng.randn(B, 21, 3).astype(np.float32)
+    verts = rng.randn(B, 778, 3).astype(np.float32)
+
+    class _StubFit:
+        def __call__(self, pred_joints, batch):
+            return {"hand_verts": verts, "joints": joints}
+
+    def eval_step(state, b, key):
+        return {"joints_3d_abs": joints}, {}
+
+    pass_ = SubmitEpochPass.build("hodata", arg=_FitArg(),
+                                  fitting_unit=_StubFit())
+    dump = str(tmp_path / "pred.json")
+    from artiboost_tpu.metrics.evaluator import build_evaluator
+    pass_(0, eval_step, state=None,
+          data_loader=[{"image": np.zeros((B, 8, 8, 3), np.float32)}],
+          evaluator=build_evaluator([], {}), dump_path=dump)
+    with open(dump) as f:
+        xyz, vv = json.load(f)
+    # joints flipped (x, -y, -z) in unordered order; verts RAW
+    unorder = np.argsort(REF_REORDER_IDXS)
+    want_j = joints[:, unorder] * np.asarray([1.0, -1.0, -1.0])
+    np.testing.assert_allclose(np.asarray(xyz), want_j, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vv), verts, atol=1e-4)
+
+
 class _Arg:
     exp_id = "smoke"
     resume = None
