@@ -43,6 +43,9 @@ class HoNet(nn.Module):
     obj_scale_factor: float = 0.0001
     inp_res: Tuple[int, int] = (224, 224)
     center_idx: int = 9
+    # FHB joint-convention adaptor (reference honetMANO.py:44-53): a
+    # frozen 778->21 linear regressor replacing the MANO joints
+    adaptor: Optional["ManoAdaptor"] = None
 
     @nn.compact
     def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -53,6 +56,16 @@ class HoNet(nn.Module):
         cam_intr = inputs[Queries.CAM_INTR]
 
         mano_results = self.mano_branch(feature)
+        if self.adaptor is not None:
+            # FHB skeleton convention (honetMANO.py:144-155): regress
+            # joints from the MANO verts, recenter both at center_idx
+            adapt_joints = self.adaptor(mano_results["hand_verts_3d"])
+            center = adapt_joints[:, self.center_idx][:, None]
+            mano_results = dict(
+                mano_results,
+                joints_3d=adapt_joints - center,
+                hand_verts_3d=mano_results["hand_verts_3d"] - center,
+            )
 
         # hand absolute position from pixel-space scale/trans
         scaletrans = TransHead(out_dim=3, name="mano_transhead")(feature)
@@ -114,8 +127,22 @@ class HoNet(nn.Module):
 
 @MODEL.register_module(name="HoNet")
 def build_honet(**cfg):
+    import os
+
     data_preset = cfg.get("DATA_PRESET", {})
     sub = {"DTYPE": cfg["DTYPE"]} if cfg.get("DTYPE") else {}
+    adaptor = None
+    if cfg.get("MANO_FHB_ADAPTOR", False):
+        from artiboost_tpu.mano.model import get_mano_model
+        from artiboost_tpu.models.hpregnet import ManoAdaptor
+
+        center_idx = data_preset.get("CENTER_IDX", 9)
+        load_path = os.path.join(
+            cfg.get("MANO_FHB_ADAPTOR_DIR", "assets/hasson20_assets/mano"),
+            f"fhb_skel_centeridx{center_idx}.pkl")
+        adaptor = ManoAdaptor(
+            mano_model=get_mano_model(cfg["HEAD"].get("MANO_ASSETS_ROOT")),
+            load_path=load_path)
     return HoNet(
         backbone=build_backbone({**sub, **cfg["BACKBONE"]}, default_args=data_preset),
         mano_branch=build_head(cfg["HEAD"], default_args=data_preset),
@@ -123,4 +150,5 @@ def build_honet(**cfg):
         obj_scale_factor=cfg.get("OBJ_SCALE_FACTOR", 0.0001),
         inp_res=tuple(data_preset.get("IMAGE_SIZE", (224, 224))),
         center_idx=data_preset.get("CENTER_IDX", 9),
+        adaptor=adaptor,
     )

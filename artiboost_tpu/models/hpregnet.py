@@ -5,6 +5,7 @@ TransHead (tsl-wrt-hand 3 + rot6d) for the object.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -77,18 +78,27 @@ class ManoBranch(nn.Module):
 class ManoAdaptor(nn.Module):
     """Fixed linear 778-vert -> 21-joint regressor (reference
     ``anakin/models/mano.py:13-41``): maps MANO vertices to a dataset's
-    joint convention (e.g. FHB). Initialized from the MANO skinning
-    regressor extended with fingertip vertex picks; frozen by default
-    (exclude the ``adaptor`` collection from the optimizer, as the
-    reference sets requires_grad=False)."""
+    joint convention (e.g. FHB). Initialized from the released FHB
+    adaptor pickle when ``load_path`` exists (``exp_data["adaptor"]``),
+    else from the MANO skinning regressor extended with fingertip vertex
+    picks; frozen (stop_gradient, as the reference sets
+    requires_grad=False)."""
 
     mano_model: ManoModel
+    load_path: str = ""
 
     @nn.compact
     def __call__(self, verts: jnp.ndarray) -> jnp.ndarray:
         from artiboost_tpu.mano.model import JOINT_REORDER, TIP_VERT_IDS
 
         def init_regressor(_key, shape):
+            if self.load_path and os.path.isfile(self.load_path):
+                import pickle
+
+                with open(self.load_path, "rb") as f:
+                    reg = jnp.asarray(pickle.load(f)["adaptor"], jnp.float32)
+                assert reg.shape == shape, (reg.shape, shape)
+                return reg
             reg16 = jnp.asarray(self.mano_model.J_regressor)  # (16, 778)
             tips = jnp.zeros((5, reg16.shape[1]), reg16.dtype)
             for row, vid in enumerate(TIP_VERT_IDS):
@@ -152,7 +162,8 @@ class HOPRegNet(nn.Module):
 def build_mano_adaptor(**cfg):
     from artiboost_tpu.mano.model import get_mano_model
 
-    return ManoAdaptor(mano_model=get_mano_model(cfg.get("MANO_ASSETS_ROOT")))
+    return ManoAdaptor(mano_model=get_mano_model(cfg.get("MANO_ASSETS_ROOT")),
+                       load_path=cfg.get("LOAD_PATH", ""))
 
 
 @HEAD.register_module(name="ManoBranch")

@@ -248,6 +248,138 @@ def test_hybrid_baseline_full_depth_forward_parity(tmp_path):
                                ref["boxroot_3d_abs"].numpy(), **TOL)
 
 
+class _TorchResNet18(torch.nn.Module):
+    """torchvision naming, BasicBlock stages (2, 2, 2, 2) — HoNet's
+    base_net (``anakin/models/honetMANO.py:36``)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        cin = 64
+        for i, (w, n) in enumerate(zip((64, 128, 256, 512), (2, 2, 2, 2))):
+            blocks = []
+            for j in range(n):
+                blocks.append(_Block(cin, w, 2 if (i > 0 and j == 0) else 1))
+                cin = w
+            setattr(self, f"layer{i + 1}", torch.nn.Sequential(*blocks))
+
+    forward = _TorchResNet34.forward
+
+
+def _rodrigues_torch(aa):
+    """(B, 3) axis-angle -> (B, 3, 3), matching manotorch's rodrigues
+    (reference honetMANO.py:198)."""
+    theta = aa.norm(dim=1, keepdim=True).clamp(min=1e-8)  # (B, 1)
+    k = aa / theta
+    B = aa.shape[0]
+    K = torch.zeros(B, 3, 3)
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    s = torch.sin(theta)[:, :, None]
+    c = torch.cos(theta)[:, :, None]
+    eye = torch.eye(3).expand(B, 3, 3)
+    return eye + s * K + (1 - c) * (K @ K)
+
+
+def _recover_3d_proj_torch(pts, intr, est_scale, est_trans, input_res,
+                           off_z=0.4):
+    """reference honetMANO.py:113-139."""
+    focal = intr[:, 0:1, 0]
+    est_Z0 = focal * est_scale + off_z
+    cam_centers = intr[:, :2, 2]
+    img_centers = torch.as_tensor([input_res[0] / 2.0, input_res[1] / 2.0])
+    est_XY0 = (est_trans + img_centers - cam_centers) * est_Z0 / focal
+    est_c3d = torch.cat([est_XY0, est_Z0], -1).unsqueeze(1)
+    return pts + est_c3d, est_c3d
+
+
+@pytest.mark.slow
+def test_honet_full_depth_forward_parity(tmp_path):
+    """Released-shape HoNet: converted flax forward matches the torch twin
+    through the scale/trans lifting and the axis-angle object head at
+    224^2 B=2 (MANO FK downstream is golden-tested in tests/test_mano.py,
+    so parameter parity IS forward parity for the hand joints)."""
+    torch.manual_seed(4)
+    bb = _TorchResNet18().eval()
+    heads = _TorchManoBranchHeads().eval()
+    mano_trans = _TorchTransHead(out_dim=3).eval()
+    obj_trans = _TorchTransHead(out_dim=6).eval()
+    _randomize_bn(bb)
+
+    B = 2
+    rng = np.random.RandomState(5)
+    image = rng.rand(B, 224, 224, 3).astype(np.float32)
+    intr = np.tile(np.array([[435.0, 0, 110.0], [0, 435.0, 114.0], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    corners_can = (rng.randn(B, 8, 3) * 0.05).astype(np.float32)
+    with torch.no_grad():
+        feat = bb(torch.as_tensor(image).permute(0, 3, 1, 2))["res_layer4_mean"]
+        ref_pose, ref_shape = heads(feat)
+        st = mano_trans(feat)
+        hand_trans = st[:, 1:] * 100.0
+        hand_scale = st[:, 0:1] * 0.0001
+        _, ref_root = _recover_3d_proj_torch(
+            torch.zeros(B, 1, 3), torch.as_tensor(intr), hand_scale,
+            hand_trans, (224, 224))
+        sto = obj_trans(feat)
+        obj_scale = sto[:, 0:1] * 0.0001
+        obj_tsl = sto[:, 1:3] * 100.0
+        ref_rot = _rodrigues_torch(sto[:, 3:6])
+        obj_corners = torch.matmul(
+            ref_rot, torch.as_tensor(corners_can).permute(0, 2, 1)).permute(0, 2, 1)
+        ref_corners_abs, ref_center = _recover_3d_proj_torch(
+            obj_corners, torch.as_tensor(intr), obj_scale, obj_tsl, (224, 224))
+
+    sd = {"base_net." + k: v for k, v in bb.state_dict().items()
+          if "num_batches_tracked" not in k}
+    sd.update({"mano_branch." + k: v for k, v in heads.state_dict().items()})
+    # HASSON-era naming: the converter's remap must rename these
+    sd.update({"scaletrans_branch." + k: v
+               for k, v in mano_trans.state_dict().items()})
+    sd.update({"scaletrans_branch_obj." + k: v
+               for k, v in obj_trans.state_dict().items()})
+    ckpt = tmp_path / "honet_full.pth.tar"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    arch_cfg = {
+        "TYPE": "HoNet",
+        "PRETRAINED": str(ckpt),
+        "OBJ_TRANS_FACTOR": 100.0,
+        "OBJ_SCALE_FACTOR": 0.0001,
+        "BACKBONE": {"TYPE": "ResNet18", "PRETRAINED": False},
+        "HEAD": {"TYPE": "ManoBranch", "INPUT_DIM": 512, "NCOMPS": 15,
+                 "USE_PCA": True, "USE_SHAPE": True},
+        "PREVIOUS": [],
+    }
+    arch = build_arch(dict(arch_cfg), PRESET_224)
+    batch = {
+        Queries.IMAGE: jnp.asarray(image),
+        Queries.CAM_INTR: jnp.asarray(intr),
+        Queries.CORNERS_CAN: jnp.asarray(corners_can),
+    }
+    optimizer, _ = build_optimizer({"LR": 1e-4})
+    state = create_train_state(arch, optimizer, batch, jax.random.PRNGKey(0))
+    state, loaded = load_arch_pretrained(state, arch_cfg)
+    assert loaded
+
+    out = arch.apply({"params": state.params, "batch_stats": state.batch_stats},
+                     batch, train=False)
+    np.testing.assert_allclose(np.asarray(out["mano_pca_pose"]),
+                               ref_pose.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out["mano_shape"]),
+                               ref_shape.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out["root_joint"]),
+                               ref_root[:, 0].numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out["box_rot_rotmat"]),
+                               ref_rot.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out["boxroot_3d_abs"]),
+                               ref_center.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out["corners_3d_abs"]),
+                               ref_corners_abs.numpy(), **TOL)
+
+
 class _TorchManoBranchHeads(torch.nn.Module):
     """Reference ManoBranch MLP naming (anakin/models/mano.py:65-96)."""
 

@@ -161,3 +161,35 @@ class TestRegModels:
         out = arch.apply(variables, inputs, train=False)
         assert out["joints_3d_abs"].shape == (2, 21, 3)
         assert np.all(np.isfinite(np.asarray(out["corners_3d_abs"])))
+
+    def test_honet_fhb_adaptor(self, rng, key):
+        """MANO_FHB_ADAPTOR (honetMANO.py:44-53,144-155): joints are
+        regressed from the MANO verts by a frozen 778->21 adaptor and
+        both joints and verts are recentered at center_idx."""
+        cfg = {
+            "TYPE": "HoNet",
+            "PRETRAINED": "",
+            "BACKBONE": {"TYPE": "ResNet18", "PRETRAINED": False},
+            "HEAD": {"TYPE": "ManoBranch", "INPUT_DIM": 512, "NCOMPS": 15,
+                     "USE_PCA": True, "CENTER_IDX": 9, "MANO_ASSETS_ROOT": ""},
+            "OBJ_TRANS_FACTOR": 100.0,
+            "OBJ_SCALE_FACTOR": 0.0001,
+            "MANO_FHB_ADAPTOR": True,
+            "MANO_FHB_ADAPTOR_DIR": "does/not/exist",  # stand-in regressor
+            "PREVIOUS": [],
+        }
+        arch = build_arch([cfg], DATA_PRESET)
+        inputs = _dummy_inputs(rng)
+        variables = arch.init(key, inputs, train=False)
+        out = arch.apply(variables, inputs, train=False)
+        # joints = adaptor @ verts, recentered: joint[center_idx] == root
+        # (center_idx comes from DATA_PRESET, honetMANO.py:150)
+        joints_c = np.asarray(out["joints_3d_abs"] - out["root_joint"][:, None])
+        np.testing.assert_allclose(joints_c[:, DATA_PRESET["CENTER_IDX"]], 0.0,
+                                   atol=1e-5)
+        # the adaptor regressor is a frozen param; verts recentered too
+        verts_c = np.asarray(out["hand_verts_3d_abs"] - out["root_joint"][:, None])
+        reg = np.asarray(
+            variables["params"]["model_list_0"]["adaptor"]["regressor"])
+        np.testing.assert_allclose(
+            np.einsum("jv,bvc->bjc", reg, verts_c), joints_c, atol=1e-4)
