@@ -53,6 +53,19 @@ _EPS_EDGE = -1e-6
 LANE = 128  # faces per chunk
 N_ROWS = 16  # packed rows per chunk (9 used, padded to the sublane tile)
 _LANE_MASK = 0x7F  # low 7 mantissa bits carry the winning lane id
+_PLANAR_UV = True   # uv_mode+out_ct: slice channel planes from the
+                    # (4*sub_k, tile_px) blocks instead of un-interleaving
+                    # to NHWC. Bit-exact; measured neutral-to-slightly-
+                    # positive (-3.2/+0.6 ms across alternating rounds,
+                    # script/probe_raster2.py) — kept ON because it removes
+                    # a real relayout and all uv consumers read planes.
+_SKIP_WPOS = False  # pass-1 hit test without the (wbits > 0) term: all
+                    # inv_z are positive (rasterizer.py clamps z at 1e-6)
+                    # so w = lam.iz > 0 wherever the edge test passes and
+                    # the term is subsumed — EXCEPT at an exact w == +0.0
+                    # cancellation, where the lane-id pack alone would
+                    # fabricate a denormal hit. Measured within session
+                    # noise (script/probe_raster2.py), so the guard stays.
 
 
 def _pack_faces(sf, n_chunks: int, n_attr: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -135,7 +148,8 @@ def _tile_core(x, y, geom_at, col_at, c_start, c_end, tile_px: int,
         wbits = jax.lax.bitcast_convert_type(w, jnp.int32)
         packv = (wbits & ~_LANE_MASK) | lane
         pf = jax.lax.bitcast_convert_type(packv, jnp.float32)
-        hit = (lmin >= _EPS_EDGE) & (wbits > 0)
+        hit = ((lmin >= _EPS_EDGE) if _SKIP_WPOS
+               else (lmin >= _EPS_EDGE) & (wbits > 0))
         pf = jnp.where(hit, pf, 0.0)
         m = jnp.max(pf, axis=1, keepdims=True)  # (TP, 1)
         improve = m > best_pf
@@ -413,6 +427,25 @@ def rasterize_batch_pallas(
         interpret=jax.default_backend() == "cpu",  # tests run on CPU mesh
     )(ranges, packed, colors)
 
+    if uv_mode and out_ct and _PLANAR_UV:
+        # planar extraction: every uv consumer reads the channels as
+        # separate (B, H, W) planes (sample_textures, compositing), so
+        # un-interleaving to NHWC is pure relayout cost. Slice each
+        # channel's sublane rows out of the (4*sub_k, tile_px) blocks
+        # instead (A/B vs the transpose: script/probe_raster2.py).
+        o = out.reshape(B, n_super, sub_k, 4, tile_px)
+
+        def plane(ch):
+            p = o[:, :, :, ch, :].reshape(B, n_tiles * tile_px)[:, :n_pix]
+            return p.reshape(B, height, width)
+
+        quv, qsp, winf, depth = (plane(c) for c in range(4))
+        win_sorted = jnp.clip(winf.astype(jnp.int32), 0, F - 1)
+        win = jnp.take_along_axis(
+            order, win_sorted.reshape(B, -1), axis=1).reshape(win_sorted.shape)
+        page = jnp.floor(qsp * (1.0 / 65536.0))
+        shade = (qsp - page * 65536.0) * (4.0 / 65535.0)
+        return quv, shade, page.astype(jnp.int32), win, depth
     if out_ct:
         # sublane s = 4j + ch: un-interleave channels back to minor dim
         out = out.reshape(B, n_super, sub_k, 4, tile_px).transpose(0, 1, 2, 4, 3)
