@@ -48,7 +48,7 @@ class AlignLoss(TensorLoss):
         final_loss, losses = jnp.zeros((), jnp.float32), {}
         targ = targs[Queries.JOINTS_3D] + targs[Queries.ROOT_JOINT][:, None]
         if self.lambda_procrustes_align:
-            m = key_validity(targs, Queries.JOINTS_3D)
+            m = key_validity(targs, Queries.JOINTS_3D, Queries.ROOT_JOINT)
             if m is not None:
                 # union-batch samples without joint annot: all-zero targets
                 # would hit a degenerate SVD (NaN grads) — substitute the

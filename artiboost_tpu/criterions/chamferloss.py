@@ -31,7 +31,8 @@ class ChamferLoss(TensorLoss):
             targ_obj_verts_abs = targs[Queries.OBJ_VERTS_3D] + targs[Queries.ROOT_JOINT][:, None]
 
             sample_vis = jnp.any(targs[Queries.CORNERS_VIS] > 0, axis=1).astype(jnp.float32)
-            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN)
+            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN,
+                             Queries.ROOT_JOINT)
             if m is not None:  # union-batch samples without obj-vert annot.
                 sample_vis = sample_vis * m
             pred_obj_verts_abs = pred_obj_verts_abs * sample_vis[:, None, None]

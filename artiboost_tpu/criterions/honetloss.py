@@ -42,13 +42,13 @@ class ManoLoss(TensorLoss):
         if self.lambda_joints_3d and Queries.JOINTS_3D in targs:
             joints_3d_loss = _masked_mse_3d(
                 preds["joints_3d_abs"], targs[Queries.JOINTS_3D] + root,
-                key_validity(targs, Queries.JOINTS_3D))
+                key_validity(targs, Queries.JOINTS_3D, Queries.ROOT_JOINT))
             final_loss = final_loss + self.lambda_joints_3d * joints_3d_loss
             losses["joints_3d_loss"] = joints_3d_loss
         if self.lambda_hand_verts_3d and Queries.HAND_VERTS_3D in targs:
             hand_verts_3d_loss = _masked_mse_3d(
                 preds["hand_verts_3d_abs"], targs[Queries.HAND_VERTS_3D] + root,
-                key_validity(targs, Queries.HAND_VERTS_3D))
+                key_validity(targs, Queries.HAND_VERTS_3D, Queries.ROOT_JOINT))
             final_loss = final_loss + self.lambda_hand_verts_3d * hand_verts_3d_loss
             losses["hand_verts_3d_loss"] = hand_verts_3d_loss
         losses[self.output_key] = final_loss
@@ -76,7 +76,8 @@ class ObjLoss(TensorLoss):
                     + preds["boxroot_3d_abs"].reshape(-1, 1, 3)
                 )
             mask = targs.get(Queries.PADDING_MASK)
-            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN)
+            m = key_validity(targs, Queries.OBJ_VERTS_3D, Queries.OBJ_VERTS_CAN,
+                             Queries.ROOT_JOINT)
             if mask is None and m is not None:
                 mask = jnp.broadcast_to(m[:, None], pred.shape[:2])
             elif mask is not None and m is not None:

@@ -21,7 +21,12 @@ def _masked_mse(pred: jnp.ndarray, targ: jnp.ndarray, vis: jnp.ndarray) -> jnp.n
 
 
 def _fold_valid(vis: jnp.ndarray, m) -> jnp.ndarray:
-    """AND a (B,) union-batch key-validity mask into a (B, N) vis map."""
+    """AND a (B,) union-batch key-validity mask into a (B, N) vis map.
+
+    Every caller folds ROOT_JOINT validity alongside the primary key:
+    abs targets are built as ``targ + root``, so a sample whose root was
+    zero-filled by the union concat has a wrong abs target even when the
+    primary key is annotated (ADVICE r4)."""
     return vis if m is None else vis * m[:, None]
 
 
@@ -40,7 +45,8 @@ class JointsLoss(TensorLoss):
                 preds["joints_3d_abs"],
                 targs[Queries.JOINTS_3D] + root,
                 _fold_valid(targs[Queries.JOINTS_VIS],
-                            key_validity(targs, Queries.JOINTS_3D)),
+                            key_validity(targs, Queries.JOINTS_3D,
+                                         Queries.ROOT_JOINT)),
             )
             final_loss = final_loss + self.lambda_joints_3d * joints_3d_loss
             losses["joints_3d_loss"] = joints_3d_loss
@@ -49,7 +55,8 @@ class JointsLoss(TensorLoss):
                 preds["corners_3d_abs"],
                 targs[Queries.CORNERS_3D] + root,
                 _fold_valid(targs[Queries.CORNERS_VIS],
-                            key_validity(targs, Queries.CORNERS_3D)),
+                            key_validity(targs, Queries.CORNERS_3D,
+                                         Queries.ROOT_JOINT)),
             )
             final_loss = final_loss + self.lambda_corners_3d * corners_3d_loss
             losses["corners_3d_loss"] = corners_3d_loss
@@ -69,7 +76,8 @@ class HandJointsLoss(TensorLoss):
             preds["joints_3d_abs"],
             targs[Queries.JOINTS_3D] + root,
             _fold_valid(targs[Queries.JOINTS_VIS],
-                        key_validity(targs, Queries.JOINTS_3D)),
+                        key_validity(targs, Queries.JOINTS_3D,
+                                     Queries.ROOT_JOINT)),
         )
         final_loss = self.lambda_joints_3d * joints_3d_loss
         return final_loss, {"joints_3d_loss": joints_3d_loss, self.output_key: final_loss}

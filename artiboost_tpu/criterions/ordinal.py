@@ -89,7 +89,7 @@ class HandOrdLoss(TensorLoss):
         B = preds["joints_3d_abs"].shape[0]
 
         vis = targs[Queries.JOINTS_VIS]
-        m = key_validity(targs, Queries.JOINTS_3D)
+        m = key_validity(targs, Queries.JOINTS_3D, Queries.ROOT_JOINT)
         if m is not None:  # union-batch: zeroed joints give targ_sign 0 -> 0 loss
             vis = vis * m[:, None]
         pred_j = _mask_kp(preds["joints_3d_abs"], vis)
@@ -144,8 +144,8 @@ class SceneOrdLoss(TensorLoss):
 
         j_vis = targs[Queries.JOINTS_VIS]
         c_vis = targs[Queries.CORNERS_VIS]
-        mj = key_validity(targs, Queries.JOINTS_3D)
-        mc = key_validity(targs, Queries.CORNERS_3D)
+        mj = key_validity(targs, Queries.JOINTS_3D, Queries.ROOT_JOINT)
+        mc = key_validity(targs, Queries.CORNERS_3D, Queries.ROOT_JOINT)
         if mj is not None:
             j_vis = j_vis * mj[:, None]
         if mc is not None:

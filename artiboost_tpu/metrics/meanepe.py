@@ -60,14 +60,20 @@ class _MeanEPE(Metric):
         }
 
     def feed(self, preds: Dict, targs: Dict, **kwargs):
+        from artiboost_tpu.utils.batching import key_validity
+
         for key in self.val_keys_list:
             pred_val = preds[key]
             if "_abs" in key:
                 targ_key = key.replace("_abs", "")
                 val = jnp.asarray(targs[targ_key]) \
                     + jnp.asarray(targs[Queries.ROOT_JOINT])[:, None]
+                # abs targets depend on the root too: a union-batch sample
+                # with a zero-filled root has a wrong abs target (ADVICE r4)
+                kv = key_validity(targs, targ_key, Queries.ROOT_JOINT)
             else:
                 val = jnp.asarray(targs[key])
+                kv = key_validity(targs, key)
             assert pred_val.ndim == 3, f"expected (B, N, 2|3), got {pred_val.shape}"
 
             if "corners" in key and len(self.filter_unseen_obj_idxs) > 0:
@@ -78,6 +84,10 @@ class _MeanEPE(Metric):
                 filt = ()
 
             valid = targs.get(Queries.SAMPLE_VALID)
+            if valid is not None and kv is not None:
+                valid = jnp.asarray(valid) * kv
+            elif kv is not None:
+                valid = kv
             s, n = self._acc[key]
             self._acc[key] = _acc_epe(
                 s, n, pred_val, val, obj_idx, filt,

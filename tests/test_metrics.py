@@ -416,3 +416,57 @@ class TestSampleValid:
         preds, targs, n_valid = self._padded(rng)
         ev.feed_all(preds, targs, {"final_loss": jnp.asarray(0.5)})
         assert ev.losses_metric.count == n_valid
+
+
+class TestMeanEPEKeyValid:
+    """ADVICE r4: union-batch KEY_VALID masks must gate train-time EPE —
+    zero-filled targets (or roots) from a side lacking the key must not
+    enter the average."""
+
+    def test_padded_key_excluded(self, rng):
+        from artiboost_tpu.utils.batching import union_concat
+
+        preds, targs = _batch(rng, B=4)
+        # side b lacks JOINTS_3D: its zero-filled targets would otherwise
+        # add |pred| - 0 sized errors
+        a = {k: v for k, v in targs.items()}
+        b = {k: v for k, v in targs.items() if k != Queries.JOINTS_3D}
+        union = union_concat([a, b], "test")
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        p2 = {"joints_3d_abs": jnp.concatenate(
+            [preds["joints_3d_abs"]] * 2, axis=0)}
+        m.feed(p2, union)
+        # only the 4 valid samples counted, and their EPE is ~0
+        assert m.avg_meters["joints_3d_abs"].count == 4
+        assert m.get_measures()["joints_3d_abs_mepe"] < 1e-3
+
+    def test_padded_root_excluded_for_abs_keys(self, rng):
+        from artiboost_tpu.utils.batching import union_concat
+
+        preds, targs = _batch(rng, B=4)
+        a = {k: v for k, v in targs.items()}
+        b = {k: (v if k != Queries.ROOT_JOINT else None)
+             for k, v in targs.items()}
+        b.pop(Queries.ROOT_JOINT)
+        union = union_concat([a, b], "test")
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        p2 = {"joints_3d_abs": jnp.concatenate(
+            [preds["joints_3d_abs"]] * 2, axis=0)}
+        m.feed(p2, union)
+        assert m.avg_meters["joints_3d_abs"].count == 4
+        assert m.get_measures()["joints_3d_abs_mepe"] < 1e-3
+
+    def test_key_valid_composes_with_sample_valid(self, rng):
+        from artiboost_tpu.utils.batching import union_concat
+
+        preds, targs = _batch(rng, B=4)
+        a = {k: v for k, v in targs.items()}
+        b = {k: v for k, v in targs.items() if k != Queries.JOINTS_3D}
+        union = union_concat([a, b], "test")
+        union[Queries.SAMPLE_VALID] = jnp.asarray([1, 1, 0, 0, 1, 1, 0, 0],
+                                                  jnp.float32)
+        m = Mean3DEPE(VAL_KEYS=["joints_3d_abs"], MILLIMETERS=True)
+        p2 = {"joints_3d_abs": jnp.concatenate(
+            [preds["joints_3d_abs"]] * 2, axis=0)}
+        m.feed(p2, union)
+        assert m.avg_meters["joints_3d_abs"].count == 2  # AND of both masks

@@ -302,3 +302,49 @@ def test_fused_step_union_all_losses(rng):
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)))
     assert diff > 0, "ManoLoss contributes no gradient on the union batch"
+
+
+class TestRootJoinValidity:
+    """ADVICE r4: abs targets are built as ``targ + root`` — a sample whose
+    ROOT_JOINT was zero-filled by the union must contribute zero loss and
+    zero gradient even when the primary key is annotated."""
+
+    def _root_padded_union(self, rng):
+        a = _half(rng, 4, with_mano=True, with_obj=True, is_synth=0)
+        b = _half(rng, 4, with_mano=True, with_obj=True, is_synth=1)
+        del b[Queries.ROOT_JOINT]
+        return union_concat([a, b], "test")
+
+    def test_poisoned_root_invisible(self, rng, key):
+        batch = self._root_padded_union(rng)
+        assert Queries.ROOT_JOINT in batch[KEY_VALID]
+        crit = _losses_5()
+        preds = _preds_from(batch, 0.05, rng)
+        total0, _ = crit.compute_losses(preds, batch, key)
+        poisoned = dict(batch)
+        poisoned[Queries.ROOT_JOINT] = batch[Queries.ROOT_JOINT].at[4:].set(1e3)
+        total1, _ = crit.compute_losses(preds, poisoned, key)
+        np.testing.assert_allclose(float(total0), float(total1), rtol=1e-6)
+
+    @pytest.mark.parametrize("loss_cls,head", [
+        (lambda: JointsLoss(LAMBDA_JOINTS_3D=1.0, LAMBDA_CORNERS_3D=1.0),
+         "joints_3d_abs"),
+        (lambda: ManoLoss(LAMBDA_JOINTS_3D=1.0, LAMBDA_HAND_VERTS_3D=1.0),
+         "hand_verts_3d_abs"),
+        (lambda: AlignLoss(LAMBDA_PROCRUSTES_ALIGN=1.0), "joints_3d_abs"),
+        (lambda: ObjLoss(LAMBDA_OBJ_VERTS_3D=1.0), "boxroot_3d_abs"),
+    ])
+    def test_zero_grad_into_root_padded_rows(self, rng, key, loss_cls, head):
+        batch = self._root_padded_union(rng)
+        loss = loss_cls()
+        preds0 = _preds_from(batch, 0.05, rng)
+
+        def f(x):
+            p = dict(preds0)
+            p[head] = x
+            return loss(p, batch, key=key)[0]
+
+        g = np.asarray(jax.grad(f)(preds0[head]))
+        assert np.all(np.isfinite(g))
+        assert np.abs(g[:4]).max() > 0.0, type(loss).__name__
+        np.testing.assert_array_equal(g[4:], 0.0)
