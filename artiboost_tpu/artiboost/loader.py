@@ -120,6 +120,13 @@ class ArtiBoostLoader:
         dt = cfg.get("DIST_THRESHOLD", {})
         self.dist_lower = float(dt.get("LOWER", 8.0))
         self.dist_upper = float(dt.get("UPPER", 16.0))
+        # method_3/4 "early shutdown" (the behavior the reference's
+        # method_3 docstring describes, artiboost_loader.py:548-569):
+        # when the fraction of seen triplets already solved to within
+        # DIST_THRESHOLD.LOWER (dist_lower_ratio) crosses this, synthesis
+        # shuts down and training continues real-only. 0 = never (default).
+        self.synth_shutdown_ratio = float(cfg.get("SYNTH_SHUTDOWN_RATIO", 0.0))
+        self.last_dist_lower_ratio = -1.0
 
         # generation pipeline
         scrambler = build_scrambler(cfg.get("SCRAMBLER", {"TYPE": "random",
@@ -165,6 +172,7 @@ class ArtiBoostLoader:
             image_bf16=bool(rend_cfg.get("IMAGE_BF16", False)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
+            render_scale=int(rend_cfg.get("RENDER_SCALE", 1)),
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),
             motion_blur_prob=float(rend_cfg.get("MOTION_BLUR_PROB", 1.0)),
         )
@@ -469,6 +477,27 @@ class ArtiBoostLoader:
             epoch_idx=epoch_idx, n_epochs=self.n_epochs,
         )
         self.ccv = self.ccv._replace(sample_weight_map=update["sample_weight_map"])
+        if "dist_lower_ratio" in update:
+            ratio = float(update["dist_lower_ratio"])
+            self.last_dist_lower_ratio = ratio
+            if ratio >= 0:
+                logger.info(f"mining epoch {epoch_idx}: dist_lower_ratio "
+                            f"{ratio:.2%} of seen triplets solved to within "
+                            f"{self.dist_lower}mm")
+            if (ratio >= 0 and self.synth_shutdown_ratio > 0
+                    and ratio >= self.synth_shutdown_ratio):
+                if self.real_dataset is None:
+                    logger.warning(
+                        f"dist_lower_ratio {ratio:.2%} >= SYNTH_SHUTDOWN_RATIO "
+                        f"{self.synth_shutdown_ratio:.2%} but there is no real "
+                        "dataset to continue on; keeping synthesis alive")
+                else:
+                    logger.warning(
+                        f"dist_lower_ratio {ratio:.2%} >= SYNTH_SHUTDOWN_RATIO "
+                        f"{self.synth_shutdown_ratio:.2%}: early synth shutdown "
+                        "(reference method_3 semantics); training continues "
+                        "real-only")
+                    self.synth_shutdown()
 
     def synth_shutdown(self):
         self.use_synth = False

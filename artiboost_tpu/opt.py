@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cfg", help="experiment config file", type=str, default=None)
     parser.add_argument("--exp_id", default="default", type=str)
     parser.add_argument("--resume", help="resume training from exp dir", type=str, default=None)
+    parser.add_argument("--allow_dirty", action="store_true",
+                        help="record a NAMED experiment from a dirty git tree "
+                             "(refused by default for reproducibility)")
     parser.add_argument("--workers", help="host data worker threads", type=int, default=20)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--evaluate", action="store_true")

@@ -38,15 +38,34 @@ def geo_prior(joints: jnp.ndarray) -> jnp.ndarray:
 
 
 class FittingUnit:
-    """joints (B, 21, 3) camera-space -> fitted MANO verts/joints."""
+    """joints (B, 21, 3) camera-space -> fitted MANO verts/joints.
 
-    def __init__(self, mano_model: Optional[ManoModel] = None, n_steps: int = 20,
-                 lr: float = 0.03, iknet_params=None):
+    ``ik_mode`` selects the initialization (the reference parses the same
+    ``--postprocess_fit_mesh_ik {iknet,iksolver}`` choice,
+    ``anakin/opt.py:39-41``, but only ships the iknet path):
+
+    - ``iknet``: a trained IKNet predicts per-joint rotations as the adam
+      warm start (20 steps suffice, ``fittingunit.py:131-136``).
+    - ``iksolver``: pure optimization from the flat (zero-pose) hand — no
+      learned component; the pose/shape regularizers anchor to zero and
+      the loop runs longer (default 100 steps) to converge cold.
+    """
+
+    def __init__(self, mano_model: Optional[ManoModel] = None,
+                 n_steps: Optional[int] = None,
+                 lr: float = 0.03, iknet_params=None, ik_mode: str = "iknet"):
+        if ik_mode not in ("iknet", "iksolver"):
+            raise ValueError(f"unknown ik_mode {ik_mode!r} "
+                             "(choices: iknet, iksolver)")
         self.mano_model = mano_model if mano_model is not None else get_mano_model()
-        self.n_steps = n_steps
+        self.ik_mode = ik_mode
+        self.n_steps = int(n_steps) if n_steps is not None else \
+            (20 if ik_mode == "iknet" else 100)
         self.lr = lr
         self.iknet = IKNet()
-        if iknet_params is None:
+        if ik_mode == "iksolver":
+            iknet_params = None  # never loaded nor used
+        elif iknet_params is None:
             import os
 
             from artiboost_tpu.utils.logger import logger
@@ -71,8 +90,12 @@ class FittingUnit:
                                axis=1, keepdims=True)[:, None]  # (B, 1, 1)
         joints_norm = (joints_abs - root) / jnp.maximum(bone, 1e-8)
 
-        # ---- IKNet initialization ----
-        so3_init, _ = self.iknet.apply(self.iknet_params, joints_norm, train=False)
+        # ---- initialization (IKNet warm start, or flat hand) ----
+        if self.ik_mode == "iknet":
+            so3_init, _ = self.iknet.apply(self.iknet_params, joints_norm,
+                                           train=False)
+        else:
+            so3_init = jnp.zeros((B, 48))
         beta_init = jnp.zeros((B, 10))
 
         optimizer = optax.adam(self.lr, b1=0.5, b2=0.5)

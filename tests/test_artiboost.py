@@ -418,3 +418,78 @@ class TestChunkedPrepare:
         assert loader.generated.obj_id.shape[0] == 24
         batch = next(iter(loader))
         assert batch["image"].shape[0] == 8
+
+
+class TestSynthShutdownRatio:
+    """Config-gated early shutdown (VERDICT r4 item 5): when method_3/4's
+    dist_lower_ratio crosses SYNTH_SHUTDOWN_RATIO, synthesis shuts down
+    and training continues real-only (the reference method_3 docstring's
+    early-shutdown semantics, artiboost_loader.py:548-569)."""
+
+    class _FakeReal:
+        def __len__(self):
+            return 16
+
+    def _loader(self, ratio, with_real=True):
+        cfg = dict(MANAGER_CFG)
+        cfg.update({"UPDATE_METHOD": "method_3",
+                    "SYNTH_SHUTDOWN_RATIO": ratio,
+                    "DIST_THRESHOLD": {"LOWER": 8.0, "UPPER": 16.0}})
+        loader = ArtiBoostLoader(real_dataset=None, cfg=cfg, batch_size=4,
+                                 n_epochs=10)
+        if with_real:
+            loader.real_dataset = self._FakeReal()
+        return loader
+
+    def _maps(self, loader, solved_frac):
+        shape = loader.ccv.shape
+        n = int(np.prod(shape))
+        vals = np.full(n, 100.0, np.float32)  # unsolved: 100mm
+        vals[: int(round(solved_frac * n))] = 2.0  # solved: < 8mm
+        seen = np.ones(n, bool)
+        return (jnp.asarray(vals.reshape(shape)),
+                jnp.asarray(seen.reshape(shape)))
+
+    def test_crossing_threshold_shuts_down(self):
+        loader = self._loader(0.5)
+        val_map, seen = self._maps(loader, solved_frac=0.6)
+        loader.sample_reweight(val_map, seen, epoch_idx=3)
+        assert loader.last_dist_lower_ratio == pytest.approx(0.6, abs=0.01)
+        assert not loader.use_synth
+
+    def test_below_threshold_keeps_synth(self):
+        loader = self._loader(0.5)
+        val_map, seen = self._maps(loader, solved_frac=0.3)
+        loader.sample_reweight(val_map, seen, epoch_idx=3)
+        assert loader.use_synth
+
+    def test_no_real_dataset_never_shuts_down(self):
+        loader = self._loader(0.5, with_real=False)
+        val_map, seen = self._maps(loader, solved_frac=0.9)
+        loader.sample_reweight(val_map, seen, epoch_idx=3)
+        assert loader.use_synth  # nothing to fall back on
+
+    def test_unarmed_by_default(self):
+        loader = self._loader(0.0)
+        val_map, seen = self._maps(loader, solved_frac=1.0)
+        loader.sample_reweight(val_map, seen, epoch_idx=3)
+        assert loader.use_synth
+        assert loader.last_dist_lower_ratio == pytest.approx(1.0)
+
+    def test_method3_deactivates_solved_triplets(self):
+        """Solved triplets get weight 0 and the sampler provably avoids
+        them (method_3 end-to-end semantics)."""
+        from artiboost_tpu.artiboost.ccv import sample_triplets
+
+        loader = self._loader(0.0)
+        val_map, seen = self._maps(loader, solved_frac=0.5)
+        loader.sample_reweight(val_map, seen, epoch_idx=3)
+        w = np.asarray(loader.ccv.sample_weight_map).reshape(-1)
+        n_solved = int(0.5 * w.size)
+        np.testing.assert_array_equal(w[:n_solved], 0.0)
+        assert (w[n_solved:] > 0).any()
+        oid, vid, gid, _ = sample_triplets(loader.ccv, jax.random.PRNGKey(0),
+                                           512, replace=True)
+        O, V, G = loader.ccv.shape
+        flat = (np.asarray(oid) * V + np.asarray(vid)) * G + np.asarray(gid)
+        assert (flat >= n_solved).all(), "sampler drew a deactivated triplet"

@@ -98,3 +98,38 @@ class TestIKNetTraining:
         a = net.apply(variables, j, train=False)[0]
         b = net.apply(loaded, j, train=False)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestIKSolver:
+    """--postprocess_fit_mesh_ik iksolver: pure optimization from the flat
+    hand, no learned init (VERDICT r4 missing #3)."""
+
+    def test_iksolver_improves_on_flat_init(self, rng):
+        model = synthetic_mano_model()
+        unit = FittingUnit(mano_model=model, lr=0.03, ik_mode="iksolver")
+        assert unit.n_steps == 100 and unit.iknet_params is None
+        true_pose = jnp.asarray(rng.randn(2, 48).astype(np.float32) * 0.2)
+        out = mano_forward(model, true_pose, jnp.zeros((2, 10)))
+        target = out.joints + jnp.asarray([0.0, 0.0, 0.5])
+
+        fitted = unit(target)
+        err_fit = float(jnp.linalg.norm(fitted["joints"] - target, axis=-1).mean())
+
+        # error of the flat-hand init, same decode path
+        root = target[:, 0:1]
+        bone = jnp.linalg.norm(target[:, 9] - target[:, 0], axis=1,
+                               keepdims=True)[:, None]
+        init_out = mano_forward(model, jnp.zeros((2, 48)), jnp.zeros((2, 10)))
+        ij = init_out.joints - init_out.joints[:, 0:1]
+        bone_pred = jnp.linalg.norm(ij[:, 9] - ij[:, 0] + 1e-8, axis=1,
+                                    keepdims=True)[:, None]
+        ij = ij / bone_pred * bone + root
+        err_init = float(jnp.linalg.norm(ij - target, axis=-1).mean())
+
+        assert err_fit < err_init * 0.7
+        assert np.all(np.isfinite(np.asarray(fitted["hand_verts"])))
+
+    def test_bad_mode_rejected(self):
+        model = synthetic_mano_model()
+        with pytest.raises(ValueError):
+            FittingUnit(mano_model=model, ik_mode="nonsense")

@@ -1,5 +1,6 @@
 """Recorder: exp-dir layout, cfg dump, arch DAG dumps (txt/dot/png),
 git-reproducibility warnings. Parity: anakin/utils/recorder.py:42,150-156."""
+import pytest
 import os
 
 from artiboost_tpu.utils.recorder import Recorder, _draw_arch_png
@@ -40,9 +41,22 @@ def test_draw_arch_png_diamond(tmp_path):
     assert os.path.getsize(p) > 0
 
 
-def test_named_exp_warns_on_dirty_tree(tmp_path, caplog):
-    # this repo's working tree state varies; the constructor must never
-    # raise either way, and must log something about the commit
-    import logging
-    with caplog.at_level(logging.INFO, logger="artiboost"):
+def test_named_exp_dirty_tree_policy(tmp_path, monkeypatch):
+    """Named experiments REFUSE a dirty tree unless --allow_dirty
+    (reference recorder.py:42 parity; VERDICT r4 weak #5)."""
+    import artiboost_tpu.utils.recorder as rec_mod
+
+    monkeypatch.setattr(rec_mod, "_git_commit", lambda: "abc123def4567890")
+    monkeypatch.setattr(rec_mod, "_git_dirty", lambda: True)
+    with pytest.raises(RuntimeError, match="UNCOMMITTED"):
         Recorder("named_exp", {}, root=str(tmp_path), timestamp="t")
+    # explicit opt-out records the run with a loud warning
+    warned = []
+    monkeypatch.setattr(rec_mod.logger, "warning",
+                        lambda msg, *a: warned.append(msg))
+    Recorder("named_exp", {}, root=str(tmp_path), timestamp="t2",
+             allow_dirty=True)
+    assert any("allow_dirty" in m for m in warned)
+    # clean tree: no refusal
+    monkeypatch.setattr(rec_mod, "_git_dirty", lambda: False)
+    Recorder("named_exp", {}, root=str(tmp_path), timestamp="t3")

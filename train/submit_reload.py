@@ -76,7 +76,8 @@ def main_worker(arg, cfg, custom):
     fitting_unit = None
     if arg.postprocess_fit_mesh:
         from artiboost_tpu.postprocess.fitting import FittingUnit
-        fitting_unit = FittingUnit()
+        fitting_unit = FittingUnit(
+            ik_mode=getattr(arg, "postprocess_fit_mesh_ik", "iknet"))
 
     # DP eval over the mesh when the batch tiles the data axis (the
     # reference's batch-100 setting stays single-chip on 8-chip slices)
