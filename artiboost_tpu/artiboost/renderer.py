@@ -443,6 +443,10 @@ def sample_textures(
     garbage. Quality is bounded by the texture's own per-texel gradient
     (measured: see docs/PERF.md round 4)."""
     P, T = tex.atlas.shape[0], tex.atlas.shape[1]
+    # the quad-subsample pack below shifts page into bits 24..30 of an
+    # int32: page >= 128 would overflow into the sign bit and jnp.max
+    # would then prefer LOW pages over high ones (ADVICE r4)
+    assert P <= 128, f"texture atlas has {P} pages; pack supports <= 128"
     full_shape = page.shape
     if subsample > 1:
         s = subsample
@@ -565,6 +569,11 @@ def render_scene(
     bilinear: bool = False,
     tex_subsample: int = 1,  # albedo fetch once per s x s quad (see
                              # sample_textures; shade stays per-pixel)
+    out_size: Optional[Tuple[int, int]] = None,  # quad-rate raster: the
+                             # foreground renders at (height, width) and
+                             # nearest-upsamples to out_size BEFORE the
+                             # background composite, so the bg crop stays
+                             # per-pixel exact (SynthConfig.render_scale)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shade + rasterize + composite -> (rgb (B, H, W, 3), depth)."""
     B = verts.shape[0]
@@ -617,6 +626,14 @@ def render_scene(
         blurred = _motion_blur_h(rgb, motion_blur)
         apply = jax.random.uniform(k_mb, (B,)) < motion_blur_prob
         rgb = jnp.where(apply[:, None, None, None], blurred, rgb)
+
+    if out_size is not None and tuple(out_size) != (height, width):
+        oh, ow = out_size
+        assert oh % height == 0 and ow % width == 0, (out_size, height, width)
+        ry, rx = oh // height, ow // width
+        rgb = jnp.repeat(jnp.repeat(rgb, ry, axis=1), rx, axis=2)
+        depth = jnp.repeat(jnp.repeat(depth, ry, axis=1), rx, axis=2)
+        height, width = oh, ow
 
     # random background crop (renderer.py:111-136): random position of a
     # fixed-size window in the 1.5x bank image. TPU note: a vmapped

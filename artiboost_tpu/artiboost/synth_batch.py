@@ -92,6 +92,15 @@ class SynthConfig(NamedTuple):
     # LOD default below is from the on-chip sweep in script/probe_lod.py)
     tile_px: int = None
     sub_k: int = None
+    # quad-rate rasterization (VERDICT r4 item 4): rasterize coverage /
+    # depth / interpolants at (H/s, W/s) and upsample to the crop — the
+    # kernel's pass-1 floor is "every pixel tests >= 1 chunk of 128
+    # lanes", so halving resolution attacks the floor itself, not the
+    # tuning. s=1 exact (default pending on-chip quality measurement;
+    # see script/probe_qrate.py + docs/PERF.md round 5); s=2 renders
+    # 2x2-quad-rate. Upsample is nearest (the interpolants are smooth;
+    # silhouettes quantize to the quad grid, like TEX_SUBSAMPLE).
+    render_scale: int = 1
 
 
 def _annot_center_scale(pts2d: jnp.ndarray):
@@ -283,15 +292,32 @@ def make_synth_batch_fn(
         tile_px, sub_k = cfg.tile_px, cfg.sub_k
         if lod is not None and tile_px is None and sub_k is None:
             tile_px, sub_k = 512, 8
+        rs = max(int(cfg.render_scale), 1)
+        if rs > 1:
+            # quad-rate raster: fold the downscale into the camera, render
+            # the FOREGROUND at (H/rs, W/rs); render_scene nearest-
+            # upsamples it before compositing the full-res background, so
+            # only foreground interpolants + silhouettes quantize to the
+            # rs-grid (measured delta: docs/PERF.md round 5).
+            assert H % rs == 0 and W % rs == 0, (H, W, rs)
+            scale_mat = jnp.asarray([[1.0 / rs, 0.0, 0.0],
+                                     [0.0, 1.0 / rs, 0.0],
+                                     [0.0, 0.0, 1.0]])
+            render_intr = scale_mat @ new_intr
+            rH, rW = H // rs, W // rs
+        else:
+            render_intr, rH, rW = new_intr, H, W
         img, depth = render_scene(
-            verts, colors, faces, fvalid, new_intr, assets.backgrounds, keys[4], H, W,
+            verts, colors, faces, fvalid, render_intr, assets.backgrounds,
+            keys[4], rH, rW,
             cull_backfaces=cfg.cull_backfaces,
             incidence=inc,
             motion_blur=cfg.motion_blur,
             motion_blur_prob=cfg.motion_blur_prob,
             tile_px=tile_px, sub_k=sub_k,
             texturing=texturing, bilinear=cfg.bilinear,
-            tex_subsample=cfg.tex_subsample)
+            tex_subsample=cfg.tex_subsample,
+            out_size=(H, W) if rs > 1 else None)
 
         if cfg.image_bf16:
             img = img.astype(jnp.bfloat16)

@@ -6,5 +6,6 @@ from artiboost_tpu.parallel.train_state import (  # noqa: F401
     create_train_state,
     make_eval_step,
     make_fused_train_step,
+    make_mixed_train_step,
     make_train_step,
 )

@@ -45,6 +45,21 @@ def build_scheduler(cfg: Dict, base_lr: float) -> optax.Schedule:
     raise ValueError(f"unknown scheduler {kind}")
 
 
+def _decay_mask(params) -> Any:
+    """Weight-decay mask: True everywhere except frozen buffers.
+
+    ManoAdaptor's ``regressor`` is a fixed joint-regression matrix the
+    reference stores with requires_grad=False (``anakin/models/mano.py:
+    13-41``); its forward stop_gradients it so adam never moves it, but
+    adamw's decoupled decay would still erode it — mask it out (ADVICE
+    r4). The leaf name "regressor" is unique to ManoAdaptor in this
+    codebase (tests/test_models.py asserts that stays true)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(
+            getattr(k, "key", None) == "regressor" for k in path),
+        params)
+
+
 def build_optimizer(cfg: Dict) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """adam / sgd with grad clipping (netutils.py:26 parity; the reference
     clips by value GRAD_CLIP through torch.nn.utils.clip_grad_norm_ — we
@@ -54,7 +69,8 @@ def build_optimizer(cfg: Dict) -> Tuple[optax.GradientTransformation, optax.Sche
     opt_name = cfg.get("OPTIMIZER", "adam").lower()
     wd = float(cfg.get("WEIGHT_DECAY", 0.0))
     if opt_name == "adam":
-        core = optax.adamw(sched, weight_decay=wd) if wd else optax.adam(sched)
+        core = (optax.adamw(sched, weight_decay=wd, mask=_decay_mask)
+                if wd else optax.adam(sched))
     elif opt_name == "sgd":
         core = optax.sgd(sched, momentum=float(cfg.get("MOMENTUM", 0.9)))
     else:
@@ -190,6 +206,66 @@ def make_fused_train_step(
         in_shardings=(repl, data, repl, data, repl),
         out_shardings=(repl, data, repl, data),
         donate_argnums=(0,),
+    )
+
+
+def make_mixed_train_step(
+    arch,
+    criterion,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """-> step(state, real_batch, synth_batch, key) -> (state, preds, losses, batch).
+
+    The double-buffered half of the pipelined fused path (VERDICT r4 item
+    1): the synth half-batch arrives PRE-RENDERED (dispatched one step
+    ahead by the epoch driver through the loader's ``synth_batch_fn``
+    jit), so the render of step N+1 sits in the device queue behind step
+    N's fwd/bwd instead of serializing in front of it inside one program.
+    This is the TPU-native shape of the reference's render-farm overlap
+    (``anakin/artiboost/render_infra.py:14-59``: render workers produce
+    images while the training GPU consumes the previous ones). Measured
+    A/B vs the single-program fused step: script/probe_pipeline.py +
+    docs/PERF.md round 5.
+    """
+
+    def step(state: TrainState, real_batch: Optional[Dict],
+             synth_batch: Optional[Dict], key: jax.Array):
+        if real_batch and synth_batch:
+            from artiboost_tpu.utils.batching import union_concat
+
+            batch = union_concat([real_batch, synth_batch],
+                                 "make_mixed_train_step")
+        else:
+            batch = synth_batch or real_batch
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = arch.apply(variables, batch, train=True,
+                             mutable=["batch_stats"] if state.batch_stats else [])
+            preds, mutated = out if isinstance(out, tuple) else (out, {})
+            total, losses = criterion.compute_losses(preds, batch, key)
+            return total, (preds, losses, mutated.get("batch_stats", state.batch_stats))
+
+        (_, (preds, losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, preds, losses, batch
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 2))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, data, repl, data),
+        donate_argnums=(0, 2),
     )
 
 

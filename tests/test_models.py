@@ -1,3 +1,4 @@
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,3 +194,40 @@ class TestRegModels:
             variables["params"]["model_list_0"]["adaptor"]["regressor"])
         np.testing.assert_allclose(
             np.einsum("jv,bvc->bjc", reg, verts_c), joints_c, atol=1e-4)
+
+
+class TestDecayMask:
+    """ADVICE r4: adamw weight decay must not erode the frozen ManoAdaptor
+    regressor (the reference stores it with requires_grad=False)."""
+
+    def test_regressor_not_decayed(self):
+        import optax
+
+        from artiboost_tpu.parallel.train_state import build_optimizer
+
+        opt, _ = build_optimizer({"OPTIMIZER": "adam", "LR": 1e-2,
+                                  "WEIGHT_DECAY": 0.1})
+        params = {"adaptor": {"regressor": jnp.ones((4, 4))},
+                  "dense": {"kernel": jnp.ones((4, 4))}}
+        state = opt.init(params)
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        updates, _ = opt.update(zero_grads, state, params)
+        new = optax.apply_updates(params, updates)
+        # frozen regressor: bitwise unchanged under zero grads
+        np.testing.assert_array_equal(np.asarray(new["adaptor"]["regressor"]),
+                                      np.asarray(params["adaptor"]["regressor"]))
+        # ordinary params DO decay
+        assert float(jnp.abs(new["dense"]["kernel"]
+                             - params["dense"]["kernel"]).max()) > 0
+
+    def test_regressor_name_unique_to_adaptor(self):
+        """The decay mask keys off the literal leaf name 'regressor'; keep
+        that name unique to ManoAdaptor in the model zoo."""
+        import subprocess
+
+        out = subprocess.run(
+            ["grep", "-rn", "self.param(\"regressor\"", "artiboost_tpu/"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        files = {line.split(":")[0] for line in out.stdout.strip().splitlines()}
+        assert files == {"artiboost_tpu/models/hpregnet.py"}, files

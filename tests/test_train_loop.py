@@ -5,6 +5,8 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
+from artiboost_tpu.datasets.hoquery import Queries
 import numpy as np
 import pytest
 
@@ -293,3 +295,131 @@ def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     state2 = main_worker(R(), cfg2, None)
     # exactly one more epoch of steps, not two
     assert int(state2.step) == 2 * steps_after_1
+
+
+def test_mixed_step_matches_fused():
+    """The pipelined pair (render jit + make_mixed_train_step) must produce
+    the same numbers as the single-program fused step given the same keys
+    (VERDICT r4 item 1: pipelining is a scheduling change, not a numerics
+    change)."""
+    import flax.linen as nn
+    import optax
+
+    from artiboost_tpu.criterions.jointloss import JointsLoss
+    from artiboost_tpu.criterions.criterion import Criterion
+    from artiboost_tpu.parallel import (create_train_state,
+                                        make_fused_train_step,
+                                        make_mixed_train_step)
+
+    class _TinyArch(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            feat = nn.Dense(16)(jnp.mean(batch[Queries.IMAGE], axis=(1, 2)))
+            B = feat.shape[0]
+            root = batch[Queries.ROOT_JOINT][:, None]
+            return {
+                "joints_3d_abs": nn.Dense(63)(feat).reshape(B, 21, 3) + root,
+                "corners_3d_abs": nn.Dense(24)(feat).reshape(B, 8, 3) + root,
+            }
+
+    rng = np.random.RandomState(0)
+    B, n_real = 8, 4
+
+    def mk_batch(n):
+        return {
+            Queries.IMAGE: jnp.asarray(rng.rand(n, 16, 16, 3).astype(np.float32)),
+            Queries.ROOT_JOINT: jnp.asarray(
+                np.tile([0, 0, 0.5], (n, 1)).astype(np.float32)),
+            Queries.JOINTS_3D: jnp.asarray(rng.randn(n, 21, 3).astype(np.float32) * 0.05),
+            Queries.CORNERS_3D: jnp.asarray(rng.randn(n, 8, 3).astype(np.float32) * 0.05),
+            Queries.JOINTS_VIS: jnp.ones((n, 21)),
+            Queries.CORNERS_VIS: jnp.ones((n, 8)),
+        }
+
+    real = mk_batch(n_real)
+    synth_proto = mk_batch(B - n_real)
+
+    def synth_fn(key, gen, sidx):
+        # deterministic in key so fused (which renders inside) and the
+        # pre-rendered path see identical synth halves
+        jit = jax.random.uniform(key, ()) * 0.01
+        return {k: (v + jit if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                for k, v in synth_proto.items()}
+
+    crit = Criterion({"LAMBDAS": [1.0]},
+                     [JointsLoss(LAMBDA_JOINTS_3D=1.0, LAMBDA_CORNERS_3D=1.0)])
+    arch = _TinyArch()
+    optimizer = optax.adam(1e-3)
+
+    key = jax.random.PRNGKey(3)
+    k_synth, k_loss = jax.random.split(key)
+
+    state_f = create_train_state(arch, optimizer, real, jax.random.PRNGKey(0))
+    fused = make_fused_train_step(arch, crit, optimizer, synth_fn, mesh=None)
+    state_f, _, losses_f, batch_f = fused(state_f, real, None,
+                                          jnp.arange(4), key)
+
+    state_m = create_train_state(arch, optimizer, real, jax.random.PRNGKey(0))
+    mixed = make_mixed_train_step(arch, crit, optimizer, mesh=None)
+    synth = synth_fn(k_synth, None, None)
+    state_m, _, losses_m, batch_m = mixed(state_m, real, synth, k_loss)
+
+    np.testing.assert_allclose(float(losses_f["final_loss"]),
+                               float(losses_m["final_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_f.params),
+                    jax.tree_util.tree_leaves(state_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(batch_f[Queries.IMAGE]),
+                               np.asarray(batch_m[Queries.IMAGE]), rtol=1e-6)
+
+
+def test_pipelined_parts_prefetches_renders():
+    """_pipelined_parts yields (real, rendered) with render N+1 dispatched
+    before item N is consumed, and preserves item order + count."""
+    from train.train_artiboost import _pipelined_parts
+
+    order = []
+
+    def fake_render(key, gen, sidx):
+        order.append(("render", int(sidx)))
+        return {"img": jnp.zeros((2, 4)) + sidx}
+
+    parts = [(None, i) for i in range(4)] + [({"real": 1}, None)]
+    out = []
+    for real, synth in _pipelined_parts(iter(parts), fake_render, None,
+                                        jax.random.PRNGKey(0)):
+        order.append(("consume", None if synth is None
+                      else int(synth["img"][0, 0])))
+        out.append((real, synth))
+    assert len(out) == 5
+    # renders 0 and 1 are both dispatched before item 0 is consumed
+    assert order[:3] == [("render", 0), ("render", 1), ("consume", 0)]
+    assert out[-1][1] is None and out[-1][0] == {"real": 1}
+
+
+def test_render_scale_quad_rate(tmp_path):
+    """RENDER_SCALE 2: same output shapes/schema, finite images, and the
+    image agrees with the exact render away from silhouettes."""
+    from artiboost_tpu.artiboost.loader import ArtiBoostLoader
+    from artiboost_tpu.utils.config import load_config
+
+    cfg = load_config("config/synthetic_smoke.yaml")
+    outs = {}
+    for rs in (1, 2):
+        manager = dict(cfg["MANAGER"])
+        manager["DATA_PRESET"] = cfg["DATA_PRESET"]
+        manager["CONFIG_LEN_TRAIN"] = 8
+        rend = dict(manager["RENDERER"])
+        rend["RENDER_SCALE"] = rs
+        manager["RENDERER"] = rend
+        loader = ArtiBoostLoader(real_dataset=None, cfg=manager, batch_size=8,
+                                 seed=3)
+        loader.prepare()
+        batch = loader._synth_batch_jit(jax.random.PRNGKey(2), loader.generated,
+                                        jnp.arange(8, dtype=jnp.int32))
+        assert batch[Queries.IMAGE].shape == (8, 128, 128, 3)
+        assert np.isfinite(np.asarray(batch[Queries.IMAGE])).all()
+        outs[rs] = np.asarray(batch[Queries.IMAGE], np.float32)
+    d = np.abs(outs[1] - outs[2])
+    assert d.mean() < 0.05, f"quad-rate image diverged: mean delta {d.mean()}"
+    assert d.max() > 0.0  # the two paths genuinely differ at silhouettes

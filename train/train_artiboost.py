@@ -38,6 +38,7 @@ from artiboost_tpu.parallel import (
     get_mesh,
     make_eval_step,
     make_fused_train_step,
+    make_mixed_train_step,
     make_train_step,
     build_optimizer,
     shard_batch,
@@ -67,12 +68,34 @@ def _ensure_synth_ids(batch):
     return batch
 
 
+def _pipelined_parts(parts, synth_jit, gen, key):
+    """(real, sidx) -> (real, rendered_synth) with the render for item N+1
+    dispatched BEFORE item N is yielded: the synth render of the next step
+    sits in the device queue behind the current step's fwd/bwd instead of
+    serializing ahead of it inside one program (double-buffering; the
+    TPU-native shape of the reference render farm's latency hiding,
+    ``anakin/artiboost/render_infra.py:14-59``)."""
+    buf = None
+    for real, sidx in parts:
+        cur = None
+        if sidx is not None:
+            key, kr = jax.random.split(key)
+            cur = synth_jit(kr, gen, sidx)
+        if buf is not None:
+            yield buf
+        buf = (real, cur)
+    if buf is not None:
+        yield buf
+
+
 def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
                epoch=0, mesh=None, log_every=20, profiler_cfg=None,
-               fused_step=None, artiboost_loader=None):
+               fused_step=None, artiboost_loader=None, mixed_step=None):
     """One epoch. When ``fused_step`` is given (TRAIN with online synthesis),
     iterate (real, synth_idx) parts and render+train in one device program;
-    otherwise iterate fully-formed batches."""
+    when ``mixed_step`` is ALSO given, pipeline instead: render each step's
+    synth half one step ahead (PIPELINE_SYNTH); otherwise iterate
+    fully-formed batches."""
     evaluator.reset_all()
     t0 = time.time()
     n_batches = 0
@@ -80,6 +103,7 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
                  and artiboost_loader is not None
                  and artiboost_loader.use_synth
                  and artiboost_loader.generated is not None)
+    use_pipelined = use_fused and mixed_step is not None
     # On a HOST-CPU multi-device mesh (virtual-device tests), unbounded
     # async dispatch deadlocks: each in-flight multi-device program parks
     # its per-device executions at a collective rendezvous, and the
@@ -88,7 +112,16 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
     # need no such bound — keep full async pipelining there.
     cpu_mesh_sync = (mesh is not None and jax.default_backend() == "cpu"
                      and mesh.devices.size > 1)
-    iterable = artiboost_loader.iter_parts() if use_fused else loader
+    if use_pipelined:
+        key, k_pipe = jax.random.split(key)
+        iterable = _pipelined_parts(
+            artiboost_loader.iter_parts(),
+            artiboost_loader._synth_batch_jit,
+            artiboost_loader.generated, k_pipe)
+    elif use_fused:
+        iterable = artiboost_loader.iter_parts()
+    else:
+        iterable = loader
     # overlap host batch assembly (decode + native warp + collate) with
     # the device step — the DataLoader-worker role (prefetch.py)
     iterable = prefetch(iterable, depth=2)
@@ -99,7 +132,19 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
         if profiler_cfg and epoch == 0 and bidx == 1:  # skip compile step
             profiling.start_trace(profiler_cfg[0])
         with profiling.step_trace(mode.name.lower(), int(state.step)):
-            if use_fused:
+            if use_pipelined:
+                real_batch, synth = item
+                if synth is not None:
+                    real_batch = {} if real_batch is None else \
+                        _ensure_synth_ids(_to_device_batch(real_batch))
+                    state, preds, losses, batch = mixed_step(
+                        state, real_batch, synth, sub)
+                else:  # synth exhausted/shutdown: plain real step
+                    batch = _ensure_synth_ids(_to_device_batch(real_batch))
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, preds, losses = step_fn(state, batch, sub)
+            elif use_fused:
                 real_batch, sidx = item
                 if sidx is not None:
                     real_batch = {} if real_batch is None else \
@@ -138,7 +183,8 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
 
 
 def main_worker(arg, cfg, extra):
-    recorder = Recorder(arg.exp_id, cfg, resume_path=arg.resume)
+    recorder = Recorder(arg.exp_id, cfg, resume_path=arg.resume,
+                        allow_dirty=getattr(arg, "allow_dirty", False))
     summarizer = Summarizer(recorder.dump_path)
     rng = jax.random.PRNGKey(int(cfg.get("TRAIN", {}).get("MANUAL_SEED", 1)))
 
@@ -218,6 +264,12 @@ def main_worker(arg, cfg, extra):
     train_step = make_train_step(arch, criterion, optimizer, mesh)
     fused_step = make_fused_train_step(arch, criterion, optimizer,
                                        artiboost_loader.synth_batch_fn, mesh)
+    # PIPELINE_SYNTH (default on): double-buffer the synth render one step
+    # ahead of fwd/bwd instead of fusing it into the train program
+    # (VERDICT r4 item 1; A/B in docs/PERF.md round 5)
+    mixed_step = None
+    if bool(cfg["TRAIN"].get("PIPELINE_SYNTH", True)):
+        mixed_step = make_mixed_train_step(arch, criterion, optimizer, mesh)
     eval_step = make_eval_step(arch, criterion, mesh)
 
     # ---- epochs ----
@@ -241,7 +293,8 @@ def main_worker(arg, cfg, extra):
                                 summarizer, epoch, mesh,
                                 profiler_cfg=profiler_cfg,
                                 fused_step=fused_step,
-                                artiboost_loader=artiboost_loader)
+                                artiboost_loader=artiboost_loader,
+                                mixed_step=mixed_step)
         profiling.stop_trace()  # no-op unless a short epoch left it running
         summarizer.summarize_evaluator(evaluator, epoch, "train")
         recorder.record_evaluator(evaluator, epoch, "train")
