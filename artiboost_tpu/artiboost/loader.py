@@ -269,15 +269,31 @@ class ArtiBoostLoader:
         for s in range(0, n_pad, chunk):
             o, v, g = oid[s:s + chunk], vid[s:s + chunk], gid[s:s + chunk]
             if sh is not None:
-                o, v, g = (jax.device_put(x, sh) for x in (o, v, g))
+                # put_global: multi-process-safe (every process computes
+                # the identical triplet draw; each contributes its shard)
+                from artiboost_tpu.parallel.mesh import put_global
+
+                o, v, g = (put_global(x, sh) for x in (o, v, g))
             k_gen, sub = jax.random.split(k_gen)
             pieces.append(self._generate_jit(sub, o, v, g))
+        multiproc = jax.process_count() > 1
+
+        def tree_cat(*ps):
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *ps)
+
+        def tree_trim(t):
+            return jax.tree_util.tree_map(lambda x: x[:n], t)
+
         if len(pieces) == 1:
             gen = pieces[0]
         else:
-            gen = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *pieces)
-        return jax.tree_util.tree_map(lambda x: x[:n], gen)
+            # multi-process: eager ops on global (non-fully-addressable)
+            # arrays are illegal — route the concat through a jit
+            gen = jax.jit(tree_cat)(*pieces) if multiproc else tree_cat(*pieces)
+        if n_pad == n:
+            return gen
+        return jax.jit(tree_trim)(gen) if multiproc else tree_trim(gen)
 
     def prepare_val(self):
         """Val-mode CCV sweep (parity: ovg_set.py:104-132): a separate
@@ -326,9 +342,9 @@ class ArtiBoostLoader:
         for s in range(0, n - bs + 1, bs):
             sidx = jnp.arange(s, s + bs, dtype=jnp.int32)
             if self.mesh is not None:
-                from artiboost_tpu.parallel.mesh import batch_sharding
+                from artiboost_tpu.parallel.mesh import batch_sharding, put_global
 
-                sidx = jax.device_put(sidx, batch_sharding(self.mesh))
+                sidx = put_global(sidx, batch_sharding(self.mesh))
             yield self._synth_batch_jit(self._next_key(), self.generated_val, sidx)
 
     def generate_render_cache(self, is_train: bool = True):
@@ -371,9 +387,9 @@ class ArtiBoostLoader:
         idx = perm[np.arange(start, start + n_synth) % len(perm)]
         sidx = jnp.asarray(idx, jnp.int32)
         if self.mesh is not None:
-            from artiboost_tpu.parallel.mesh import batch_sharding
+            from artiboost_tpu.parallel.mesh import batch_sharding, put_global
 
-            sidx = jax.device_put(sidx, batch_sharding(self.mesh))
+            sidx = put_global(sidx, batch_sharding(self.mesh))
         return sidx
 
     def __len__(self) -> int:

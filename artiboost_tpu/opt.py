@@ -23,6 +23,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--allow_dirty", action="store_true",
                         help="record a NAMED experiment from a dirty git tree "
                              "(refused by default for reproducibility)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process SPMD job "
+                             "(jax.distributed.initialize; the mesh then "
+                             "spans all hosts' devices)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multihost coordinator host:port (omit on TPU "
+                             "pods — autodetected from the pod metadata)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--workers", help="host data worker threads", type=int, default=20)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--evaluate", action="store_true")

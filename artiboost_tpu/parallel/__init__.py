@@ -1,4 +1,9 @@
-from artiboost_tpu.parallel.mesh import get_mesh, shard_batch  # noqa: F401
+from artiboost_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh,
+    init_distributed,
+    put_global,
+    shard_batch,
+)
 from artiboost_tpu.parallel.train_state import (  # noqa: F401
     TrainState,
     build_optimizer,

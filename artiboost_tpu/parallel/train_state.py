@@ -84,16 +84,26 @@ def build_optimizer(cfg: Dict) -> Tuple[optax.GradientTransformation, optax.Sche
 
 
 def create_train_state(arch, optimizer: optax.GradientTransformation,
-                       sample_batch: Dict, key: jax.Array) -> TrainState:
+                       sample_batch: Dict, key: jax.Array,
+                       mesh: Optional[Mesh] = None) -> TrainState:
     variables = arch.init(key, sample_batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
     )
+    if mesh is not None and jax.process_count() > 1:
+        # multi-process: the first global jit call requires state already
+        # committed to the GLOBAL replicated sharding (every process init
+        # is identical — same seed, same arch)
+        from artiboost_tpu.parallel.mesh import put_global, replicated_sharding
+
+        repl = replicated_sharding(mesh)
+        state = jax.tree_util.tree_map(lambda x: put_global(x, repl), state)
+    return state
 
 
 def make_train_step(

@@ -137,6 +137,11 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
                 if synth is not None:
                     real_batch = {} if real_batch is None else \
                         _ensure_synth_ids(_to_device_batch(real_batch))
+                    if real_batch and mesh is not None:
+                        # commit the host half to the mesh's data axis
+                        # (required for multi-process; a no-op cost
+                        # single-process — the jit would do the same put)
+                        real_batch = shard_batch(real_batch, mesh)
                     state, preds, losses, batch = mixed_step(
                         state, real_batch, synth, sub)
                 else:  # synth exhausted/shutdown: plain real step
@@ -182,10 +187,47 @@ def epoch_pass(mode, loader, state, step_fn, evaluator, key, summarizer=None,
     return state, key
 
 
+class _NullRecorder:
+    """Non-zero ranks in a multi-process run: every process executes the
+    same SPMD program, but only process 0 owns the experiment directory,
+    checkpoints, and TB events (the standard multi-host convention)."""
+    dump_path = None
+
+    def record_arch(self, *a, **k):
+        pass
+
+    def record_evaluator(self, *a, **k):
+        pass
+
+    def record_checkpoints(self, *a, **k):
+        pass
+
+    def resume_checkpoints(self, *a, **k):
+        raise RuntimeError("--resume on a non-zero rank: restore happens on "
+                           "process 0 and broadcasts through put_global")
+
+    def resume_artiboost_state(self, *a, **k):
+        return None
+
+
+class _NullSummarizer:
+    def summarize_losses(self, *a, **k):
+        pass
+
+    def summarize_evaluator(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def main_worker(arg, cfg, extra):
-    recorder = Recorder(arg.exp_id, cfg, resume_path=arg.resume,
-                        allow_dirty=getattr(arg, "allow_dirty", False))
-    summarizer = Summarizer(recorder.dump_path)
+    if jax.process_index() == 0:
+        recorder = Recorder(arg.exp_id, cfg, resume_path=arg.resume,
+                            allow_dirty=getattr(arg, "allow_dirty", False))
+        summarizer = Summarizer(recorder.dump_path)
+    else:
+        recorder, summarizer = _NullRecorder(), _NullSummarizer()
     rng = jax.random.PRNGKey(int(cfg.get("TRAIN", {}).get("MANUAL_SEED", 1)))
 
     mesh = get_mesh(n_data=arg.n_devices)
@@ -239,9 +281,21 @@ def main_worker(arg, cfg, extra):
     # ---- optimizer / state ----
     optimizer, sched = build_optimizer(cfg["TRAIN"])
     artiboost_loader.prepare()
-    init_batch = _ensure_synth_ids(_to_device_batch(next(iter(artiboost_loader))))
+    if jax.process_count() > 1 and artiboost_loader.generated is not None:
+        # multi-process: arch.init runs ops eagerly, which is illegal on
+        # global (non-fully-addressable) arrays — render one synth batch
+        # for its SCHEMA and init from host zeros of the same structure
+        # (a synth batch carries the full annotation key set)
+        sidx = artiboost_loader._sample_synth_idx(
+            np.arange(max(batch_size, 1)), 0, batch_size)
+        synth = artiboost_loader._synth_batch_jit(
+            jax.random.PRNGKey(0), artiboost_loader.generated, sidx)
+        init_batch = _ensure_synth_ids(jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, x.dtype), synth))
+    else:
+        init_batch = _ensure_synth_ids(_to_device_batch(next(iter(artiboost_loader))))
     rng, init_key = jax.random.split(rng)
-    state = create_train_state(arch, optimizer, init_batch, init_key)
+    state = create_train_state(arch, optimizer, init_batch, init_key, mesh=mesh)
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"arch has {n_params / 1e6:.1f}M params")
 
@@ -353,6 +407,13 @@ def _host_loader(dataset, batch_size, shuffle=False):
 def main():
     arg, cfg, custom = parse_args()
     extra = parse_extra_args(custom)
+    if getattr(arg, "multihost", False):
+        from artiboost_tpu.parallel import init_distributed
+
+        init_distributed(arg.coordinator, arg.num_processes, arg.process_id)
+        logger.info(f"multihost: process {jax.process_index()}/"
+                    f"{jax.process_count()}, "
+                    f"{len(jax.devices())} global devices")
     logger.info(f"==> start training {arg.exp_id}")
     main_worker(arg, cfg, extra)
 
