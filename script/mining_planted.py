@@ -1,23 +1,35 @@
 #!/usr/bin/env python
-"""Planted-hard-region mining experiment (VERDICT r3 item 3a).
+"""Planted-hard-region mining experiments (VERDICT r3 item 3a, r4 item 2).
 
-The smoke-scale A/B was underpowered because at 30 epochs from scratch
-EVERY triplet is equally hard. This experiment PLANTS a known hard
-region — object 0 x the first quarter of the view sphere gets
-independent N(0, sigma) noise added to its joint/corner TARGETS in both
-train and val synthesis — and asks whether the mining loop (real model,
-real fused training, real per-triplet val maps, real reweight:
-``anakin/artiboost/artiboost_loader.py:503-598`` semantics) concentrates
-sampling weight on that region, against the uniform control, with >= 4
-seeds and a 95% CI.
+Two plant modes, selected by ``--plant``:
 
-The model cannot fit the noise, so the region's val EPE is elevated by
-construction (~sigma) — if the machinery works, method_1 must upweight
-it. Powered by design: the planted effect (sigma = 100 mm) is ~5x the
-seed spread of the val-EPE maps at this scale.
+``noise`` (round 4): object 0 x the first quarter of the view sphere
+gets independent N(0, sigma) noise added to its joint/corner TARGETS in
+both train and val synthesis. The model cannot fit the noise, so the
+region's val EPE is elevated by construction — this proves the loop
+CONCENTRATES (method_1: 1.324+-0.035 weight-mass ratio vs uniform's
+exact 1.000, docs/mining_planted_r4_e20.log) but cannot show an
+accuracy payoff: no amount of extra sampling learns label noise.
 
-    python script/mining_planted.py [--epochs 20] [--seeds 1 2 3 4] \
-        [--sigma 0.1] [--methods method_1 uniform]
+``withhold`` (round 5, VERDICT r4 item 2 — a LEARNABLE plant): ALL of
+object 0 is masked out of the TRAIN synthesis draw for the first
+``--release_frac`` of epochs (the val sweep, which draws uniformly and
+ignores the weight map, still measures it), then released. Its
+supervision is correct — the model simply hasn't seen it, and object
+corner geometry does not generalize from the other objects. After
+release, mining (which by then has val-observed the region's high EPE
+and banked weight on it) must drive the region's val EPE down FASTER
+than the uniform control: the paired per-seed delta of final region EPE
+is the accuracy payoff the paper claims for the mining loop
+(``anakin/artiboost/artiboost_loader.py:503-598`` exists to improve
+accuracy, not weight maps).
+
+Both modes: real model, real fused training, real per-triplet val maps,
+real reweight, >= 4 seeds, 95% CIs, paired deltas when the seed sets
+match.
+
+    python script/mining_planted.py --plant withhold [--epochs 24] \
+        [--seeds 1 2 3 4] [--methods method_1 uniform] [--val_len 384]
 
 One JSON line per run + a summary with per-method CIs.
 """
@@ -92,7 +104,8 @@ def corrupt_wrap(synth_fn, v_cut, sigma, seed):
     return corrupted
 
 
-def run_variant(method, seed, epochs, sigma, cfg_base):
+def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
+                release_epoch=0, val_len=None):
     from train.train_artiboost import (_WithLen, _ensure_synth_ids,
                                        _to_device_batch, epoch_pass)
 
@@ -100,6 +113,8 @@ def run_variant(method, seed, epochs, sigma, cfg_base):
     cfg["TRAIN"]["MANUAL_SEED"] = seed
     cfg["TRAIN"]["EPOCH"] = epochs
     cfg["MANAGER"]["UPDATE_METHOD"] = method
+    if val_len:
+        cfg["MANAGER"]["VAL_LEN"] = int(val_len)
     data_preset = cfg["DATA_PRESET"]
     batch_size = int(cfg["TRAIN"]["BATCH_SIZE"])
 
@@ -114,10 +129,18 @@ def run_variant(method, seed, epochs, sigma, cfg_base):
     loader = ArtiBoostLoader(real_dataset=train_data, cfg=manager_cfg,
                              batch_size=batch_size, n_epochs=epochs, seed=seed)
     O, V, G = loader.ccv.shape
-    mask_fn, v_cut = region_mask_fn(V)
-    # corrupt BOTH the fused-train synthesis and the val synthesis
-    corrupted = corrupt_wrap(loader.synth_batch_fn, v_cut, sigma, seed)
-    loader._synth_batch_jit = corrupted
+    if plant == "noise":
+        mask_fn, v_cut = region_mask_fn(V)
+        # corrupt BOTH the fused-train synthesis and the val synthesis
+        corrupted = corrupt_wrap(loader.synth_batch_fn, v_cut, sigma, seed)
+        loader._synth_batch_jit = corrupted
+    else:  # withhold: the LEARNABLE plant — supervision untouched, the
+        # region (all of object 0) simply excluded from the train draw
+        # until release_epoch; val draws uniformly and still measures it
+        def mask_fn(obj_id, persp_id):
+            return obj_id == HARD_OBJ
+
+        corrupted = loader.synth_batch_fn
 
     optimizer, _ = build_optimizer(cfg["TRAIN"])
     rng = jax.random.PRNGKey(seed)
@@ -137,10 +160,25 @@ def run_variant(method, seed, epochs, sigma, cfg_base):
     not_black = ~np.asarray(loader.ccv.blacklist_map).astype(bool)
     region_frac_uniform = float((region & not_black).sum() / not_black.sum())
 
+    region_j = jnp.asarray(region)
     t0 = time.time()
-    val_region, val_rest = [], []
+    val_region, val_rest, val_epochs = [], [], []
+    region_draw_frac = []  # fraction of the train draw in-region, post-release
     for epoch in range(epochs):
-        loader.prepare()
+        if plant == "withhold" and epoch < release_epoch:
+            # mask the DRAW only — the persistent map stays untouched, so
+            # the uniform control recovers instantly at release and the
+            # mining arms keep whatever weight they banked from val
+            saved = loader.ccv.sample_weight_map
+            loader.ccv = loader.ccv._replace(
+                sample_weight_map=jnp.where(region_j, 0.0, saved))
+            loader.prepare()
+            loader.ccv = loader.ccv._replace(sample_weight_map=saved)
+        else:
+            loader.prepare()
+            if plant == "withhold":
+                region_draw_frac.append(float(np.mean(
+                    np.asarray(loader.generated.obj_id) == HARD_OBJ)))
         state, rng = epoch_pass(TrainMode.TRAIN, loader, state, train_step,
                                 evaluator, rng, None, epoch, None,
                                 fused_step=fused_step, artiboost_loader=loader)
@@ -156,18 +194,36 @@ def run_variant(method, seed, epochs, sigma, cfg_base):
                     if (seen & region).any() and (seen & ~region).any():
                         val_region.append(float(vmap[seen & region].mean()))
                         val_rest.append(float(vmap[seen & ~region].mean()))
+                        val_epochs.append(epoch)
         loader.step_eval(epoch, evaluator)
 
     w = np.asarray(loader.ccv.sample_weight_map) * not_black
     region_mass = float(w[region].sum() / max(w.sum(), 1e-9))
+    # endpoint: mean of the last 3 post-release val measurements (withhold)
+    # or the all-epoch mean (noise, where the EPE is stationary)
+    if plant == "withhold":
+        post = [v for v, e in zip(val_region, val_epochs) if e >= release_epoch]
+        post_rest = [v for v, e in zip(val_rest, val_epochs) if e >= release_epoch]
+        end_region = float(np.mean(post[-3:])) if post else None
+        end_rest = float(np.mean(post_rest[-3:])) if post_rest else None
+    else:
+        end_region = float(np.mean(val_region)) if val_region else None
+        end_rest = float(np.mean(val_rest)) if val_rest else None
     row = {
-        "method": method, "seed": seed, "epochs": epochs, "sigma_mm": sigma * 1e3,
+        "method": method, "seed": seed, "epochs": epochs, "plant": plant,
+        "sigma_mm": sigma * 1e3 if plant == "noise" else None,
+        "release_epoch": release_epoch if plant == "withhold" else None,
         "train_s": round(time.time() - t0, 1),
         "region_frac_uniform": round(region_frac_uniform, 4),
         "region_weight_mass": round(region_mass, 4),
         "mass_ratio_vs_uniform": round(region_mass / region_frac_uniform, 3),
-        "val_epe_region_mm": round(float(np.mean(val_region)), 1) if val_region else None,
-        "val_epe_rest_mm": round(float(np.mean(val_rest)), 1) if val_rest else None,
+        "val_epe_region_mm": round(end_region, 1) if end_region else None,
+        "val_epe_rest_mm": round(end_rest, 1) if end_rest else None,
+        "region_draw_frac_post_release": (
+            round(float(np.mean(region_draw_frac)), 4)
+            if region_draw_frac else None),
+        "val_region_traj": [round(v, 1) for v in val_region],
+        "val_epochs": val_epochs,
     }
     print(json.dumps(row), flush=True)
     return row
@@ -189,14 +245,26 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--sigma", type=float, default=0.1)
     ap.add_argument("--methods", nargs="+", default=["method_1", "uniform"])
+    ap.add_argument("--plant", choices=["noise", "withhold"], default="noise")
+    ap.add_argument("--release_frac", type=float, default=1.0 / 3.0,
+                    help="withhold: fraction of epochs before release")
+    ap.add_argument("--val_len", type=int, default=None,
+                    help="override MANAGER.VAL_LEN (withhold wants denser "
+                         "val coverage so mining sees the region's EPE)")
     arg = ap.parse_args()
 
+    release_epoch = int(round(arg.epochs * arg.release_frac)) \
+        if arg.plant == "withhold" else 0
     cfg = load_config(CFG)
     rows = []
     for seed in arg.seeds:
         for method in arg.methods:
-            logger.info(f"=== planted mining: {method} seed {seed} ===")
-            rows.append(run_variant(method, seed, arg.epochs, arg.sigma, cfg))
+            logger.info(f"=== planted mining ({arg.plant}): {method} "
+                        f"seed {seed} ===")
+            rows.append(run_variant(method, seed, arg.epochs, arg.sigma, cfg,
+                                    plant=arg.plant,
+                                    release_epoch=release_epoch,
+                                    val_len=arg.val_len))
 
     print("=== SUMMARY (95% CI over seeds) ===")
     for m in arg.methods:
@@ -212,6 +280,25 @@ def main():
             "val_epe_region_mm": round(float(np.mean(reg)), 1) if reg else None,
             "val_epe_rest_mm": round(float(np.mean(rest)), 1) if rest else None,
         }))
+    # paired per-seed payoff vs the uniform control (the accuracy claim):
+    # positive delta = mining ends with LOWER region EPE than uniform
+    uni = {r["seed"]: r for r in rows if r["method"] == "uniform"}
+    for m in arg.methods:
+        if m == "uniform":
+            continue
+        deltas = [uni[r["seed"]]["val_epe_region_mm"] - r["val_epe_region_mm"]
+                  for r in rows
+                  if r["method"] == m and r["seed"] in uni
+                  and r["val_epe_region_mm"] and
+                  uni[r["seed"]]["val_epe_region_mm"]]
+        if deltas:
+            mu, hw = ci95(deltas)
+            print(json.dumps({
+                "paired_delta": f"uniform - {m}", "n": len(deltas),
+                "region_epe_improvement_mm": f"{mu:.1f} +- {hw:.1f}",
+                "ci_excludes_zero": bool(
+                    len(deltas) >= 2 and (mu - hw > 0 or mu + hw < 0)),
+            }))
 
 
 if __name__ == "__main__":
