@@ -94,9 +94,16 @@ def main():
     per_step = (min(dts) - 0.028) / K_STEPS  # subtract the dispatch floor
     img_per_sec = BATCH / per_step
 
-    mixed_piped = bench_mixed_train(cfg, pipelined=True)
+    # fused first: it is the battle-tested path, so its number exists as
+    # the fallback before the newer pipelined variant runs
     mixed_fused = bench_mixed_train(cfg, pipelined=False)
     synth = bench_synth(cfg)
+    piped_err = None
+    try:
+        mixed_piped = bench_mixed_train(cfg, pipelined=True)
+    except Exception as e:  # noqa: BLE001 — a TPU-worker fault must not
+        # cost the round its BENCH line; fall back to the fused twin
+        mixed_piped, piped_err = mixed_fused, f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         # headline = the production train path (PIPELINE_SYNTH default):
         # synth render dispatched one step ahead of fwd/bwd, B=128, 60% synth
@@ -113,6 +120,7 @@ def main():
         "chip_parity": parity,  # Mosaic-compiled golden gate (r4 item 3)
         # A/B twin: render fused INSIDE the train program (round <=4 shape)
         "mixed_train_fused_img_per_sec": mixed_fused,
+        **({"pipelined_bench_error": piped_err} if piped_err else {}),
         # the round <=4 headline, kept as a field (flat by design since r1)
         "eval_images_per_sec_per_chip": round(img_per_sec, 1),
         "eval_vs_baseline": round(img_per_sec / BASELINE_EVAL_IMG_PER_SEC, 2),
