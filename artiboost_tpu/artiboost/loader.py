@@ -172,7 +172,7 @@ class ArtiBoostLoader:
             image_bf16=bool(rend_cfg.get("IMAGE_BF16", False)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
-            render_scale=int(rend_cfg.get("RENDER_SCALE", 1)),
+            render_scale=rend_cfg.get("RENDER_SCALE"),  # None = auto (2)
             motion_blur=int(rend_cfg.get("MOTION_BLUR", 0)),
             motion_blur_prob=float(rend_cfg.get("MOTION_BLUR_PROB", 1.0)),
         )

@@ -9,7 +9,7 @@ fused device computation feeding the train step directly.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,11 +96,13 @@ class SynthConfig(NamedTuple):
     # depth / interpolants at (H/s, W/s) and upsample to the crop — the
     # kernel's pass-1 floor is "every pixel tests >= 1 chunk of 128
     # lanes", so halving resolution attacks the floor itself, not the
-    # tuning. s=1 exact (default pending on-chip quality measurement;
-    # see script/probe_qrate.py + docs/PERF.md round 5); s=2 renders
-    # 2x2-quad-rate. Upsample is nearest (the interpolants are smooth;
-    # silhouettes quantize to the quad grid, like TEX_SUBSAMPLE).
-    render_scale: int = 1
+    # tuning. None = auto: 2 when the crop divides evenly, else 1.
+    # Measured (round 5, B=128 @224²): mixed train 62.2 -> 42.0 ms/step
+    # (+48%), mean abs image delta 0.0090 vs exact — below the accepted
+    # LOD/TEX_SUBSAMPLE deltas. RENDER_SCALE: 1 restores the exact
+    # per-pixel raster. Upsample is nearest (the interpolants are
+    # smooth; silhouettes quantize to the quad grid, like TEX_SUBSAMPLE).
+    render_scale: Optional[int] = None
 
 
 def _annot_center_scale(pts2d: jnp.ndarray):
@@ -292,7 +294,10 @@ def make_synth_batch_fn(
         tile_px, sub_k = cfg.tile_px, cfg.sub_k
         if lod is not None and tile_px is None and sub_k is None:
             tile_px, sub_k = 512, 8
-        rs = max(int(cfg.render_scale), 1)
+        if cfg.render_scale in (None, 0):  # auto (round-5 default)
+            rs = 2 if (H % 2 == 0 and W % 2 == 0) else 1
+        else:
+            rs = max(int(cfg.render_scale), 1)
         if rs > 1:
             # quad-rate raster: fold the downscale into the camera, render
             # the FOREGROUND at (H/rs, W/rs); render_scene nearest-

@@ -5,9 +5,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 The headline (promoted round 5, VERDICT r4 weak #7: eval throughput had
 been flat for four rounds while the rounds optimized training) is the
-PIPELINED mixed train step — synth render double-buffered one step ahead
-of fwd/bwd (train/train_artiboost.py::_pipelined_parts), batch 128, 60%
-synth — the number that bounds real ArtiBoost training end-to-end.
+PIPELINED mixed train step — synth render dispatched one step ahead of
+fwd/bwd (train/train_artiboost.py::_pipelined_parts), batch 128, 60%
+synth, production defaults (LOD-128, TEX_SUBSAMPLE 2, RENDER_SCALE
+auto=2) — the number that bounds real ArtiBoost training end-to-end.
+(Measured r5: pipelined == fused within ±3%; a single chip executes
+programs serially, so there is no overlap to win — docs/PERF.md r5.)
 ``vs_baseline`` is measured against a nominal 350 img/s for the PyTorch
 reference's training GPU (the repo publishes no number; torch
 ResNet34+deconv fwd/bwd at batch 128 on the 2021-era single GPU the
