@@ -24,7 +24,16 @@ is the accuracy payoff the paper claims for the mining loop
 (``anakin/artiboost/artiboost_loader.py:503-598`` exists to improve
 accuracy, not weight maps).
 
-Both modes: real model, real fused training, real per-triplet val maps,
+``offset`` (round 5): object 0's joint/corner targets get a FIXED
+offset vector of magnitude ``--sigma`` meters (train AND val) — fully
+learnable, but only from object-0 samples (other objects don't carry
+the offset, so generalization can't remove it). Unlike ``withhold``,
+the region's val-EPE contrast is CONTROLLABLE: set it above the
+per-triplet val-noise floor that masks the withhold plant's ~10 mm
+signal (measured round 5), and the mining loop has something it can
+actually see.
+
+All modes: real model, real fused training, real per-triplet val maps,
 real reweight, >= 4 seeds, 95% CIs, paired deltas when the seed sets
 match.
 
@@ -104,8 +113,32 @@ def corrupt_wrap(synth_fn, v_cut, sigma, seed):
     return corrupted
 
 
+def offset_wrap(synth_fn, offset_m):
+    """The LEARNABLE plant with controllable contrast: object 0's joint
+    and corner targets get a FIXED offset vector (train AND val — fully
+    consistent supervision). The model can only learn it by seeing
+    object-0 samples and conditioning on the object's appearance;
+    cross-object generalization CANNOT remove the error, so the region's
+    val EPE stays ~|offset| above the rest until region samples teach
+    it. Contrast is set by --offset_mm, i.e. ABOVE the per-triplet
+    val-noise floor that masks the withhold plant's signal."""
+    off = jnp.asarray([0.48, 0.64, 0.6]) * offset_m  # |off| = offset_m
+
+    @jax.jit
+    def corrupted(key, gen, sidx):
+        batch = synth_fn(key, gen, sidx)
+        m = (batch[SynthQueries.OBJ_ID] == HARD_OBJ) \
+            .astype(jnp.float32)[:, None, None]
+        batch = dict(batch)
+        batch[Queries.JOINTS_3D] = batch[Queries.JOINTS_3D] + off * m
+        batch[Queries.CORNERS_3D] = batch[Queries.CORNERS_3D] + off * m
+        return batch
+
+    return corrupted
+
+
 def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
-                release_epoch=0, val_len=None):
+                release_epoch=0, val_len=None, dist_thresholds=None):
     from train.train_artiboost import (_WithLen, _ensure_synth_ids,
                                        _to_device_batch, epoch_pass)
 
@@ -115,6 +148,10 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
     cfg["MANAGER"]["UPDATE_METHOD"] = method
     if val_len:
         cfg["MANAGER"]["VAL_LEN"] = int(val_len)
+    if dist_thresholds:
+        cfg["MANAGER"]["DIST_THRESHOLD"] = {
+            "LOWER": float(dist_thresholds[0]),
+            "UPPER": float(dist_thresholds[1])}
     data_preset = cfg["DATA_PRESET"]
     batch_size = int(cfg["TRAIN"]["BATCH_SIZE"])
 
@@ -133,6 +170,12 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
         mask_fn, v_cut = region_mask_fn(V)
         # corrupt BOTH the fused-train synthesis and the val synthesis
         corrupted = corrupt_wrap(loader.synth_batch_fn, v_cut, sigma, seed)
+        loader._synth_batch_jit = corrupted
+    elif plant == "offset":  # learnable + controllable contrast
+        def mask_fn(obj_id, persp_id):
+            return obj_id == HARD_OBJ
+
+        corrupted = offset_wrap(loader.synth_batch_fn, sigma)
         loader._synth_batch_jit = corrupted
     else:  # withhold: the LEARNABLE plant — supervision untouched, the
         # region (all of object 0) simply excluded from the train draw
@@ -176,7 +219,7 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
             loader.ccv = loader.ccv._replace(sample_weight_map=saved)
         else:
             loader.prepare()
-            if plant == "withhold":
+            if plant in ("withhold", "offset"):
                 region_draw_frac.append(float(np.mean(
                     np.asarray(loader.generated.obj_id) == HARD_OBJ)))
         state, rng = epoch_pass(TrainMode.TRAIN, loader, state, train_step,
@@ -199,9 +242,10 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
 
     w = np.asarray(loader.ccv.sample_weight_map) * not_black
     region_mass = float(w[region].sum() / max(w.sum(), 1e-9))
-    # endpoint: mean of the last 3 post-release val measurements (withhold)
-    # or the all-epoch mean (noise, where the EPE is stationary)
-    if plant == "withhold":
+    # endpoint: mean of the last 3 post-release val measurements
+    # (withhold/offset, where the region EPE falls as it is learned) or
+    # the all-epoch mean (noise, where the EPE is stationary)
+    if plant in ("withhold", "offset"):
         post = [v for v, e in zip(val_region, val_epochs) if e >= release_epoch]
         post_rest = [v for v, e in zip(val_rest, val_epochs) if e >= release_epoch]
         end_region = float(np.mean(post[-3:])) if post else None
@@ -211,7 +255,7 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
         end_rest = float(np.mean(val_rest)) if val_rest else None
     row = {
         "method": method, "seed": seed, "epochs": epochs, "plant": plant,
-        "sigma_mm": sigma * 1e3 if plant == "noise" else None,
+        "sigma_mm": sigma * 1e3 if plant in ("noise", "offset") else None,
         "release_epoch": release_epoch if plant == "withhold" else None,
         "train_s": round(time.time() - t0, 1),
         "region_frac_uniform": round(region_frac_uniform, 4),
@@ -222,6 +266,9 @@ def run_variant(method, seed, epochs, sigma, cfg_base, plant="noise",
         "region_draw_frac_post_release": (
             round(float(np.mean(region_draw_frac)), 4)
             if region_draw_frac else None),
+        # method_3/4: fraction of val-seen triplets solved below
+        # DIST_THRESHOLD.LOWER at the last reweight (-1 = n/a)
+        "dist_lower_ratio": round(loader.last_dist_lower_ratio, 4),
         "val_region_traj": [round(v, 1) for v in val_region],
         "val_epochs": val_epochs,
     }
@@ -245,12 +292,18 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--sigma", type=float, default=0.1)
     ap.add_argument("--methods", nargs="+", default=["method_1", "uniform"])
-    ap.add_argument("--plant", choices=["noise", "withhold"], default="noise")
+    ap.add_argument("--plant", choices=["noise", "withhold", "offset"],
+                    default="noise")
     ap.add_argument("--release_frac", type=float, default=1.0 / 3.0,
                     help="withhold: fraction of epochs before release")
     ap.add_argument("--val_len", type=int, default=None,
                     help="override MANAGER.VAL_LEN (withhold wants denser "
                          "val coverage so mining sees the region's EPE)")
+    ap.add_argument("--dist_thresholds", type=float, nargs=2, default=None,
+                    metavar=("LOWER", "UPPER"),
+                    help="override DIST_THRESHOLD (mm) so method_3's "
+                         "deactivate-below-LOWER semantics engage at this "
+                         "world's EPE scale")
     arg = ap.parse_args()
 
     release_epoch = int(round(arg.epochs * arg.release_frac)) \
@@ -264,7 +317,8 @@ def main():
             rows.append(run_variant(method, seed, arg.epochs, arg.sigma, cfg,
                                     plant=arg.plant,
                                     release_epoch=release_epoch,
-                                    val_len=arg.val_len))
+                                    val_len=arg.val_len,
+                                    dist_thresholds=arg.dist_thresholds))
 
     print("=== SUMMARY (95% CI over seeds) ===")
     for m in arg.methods:
