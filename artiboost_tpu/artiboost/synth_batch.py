@@ -292,12 +292,17 @@ def make_synth_batch_fn(
         # 79.9 ms vs 92.8 @ the old sub_k 4 / (TP, 4) layout — the dense
         # lane-aligned output DMA also un-blocks larger sub_k)
         tile_px, sub_k = cfg.tile_px, cfg.sub_k
-        if lod is not None and tile_px is None and sub_k is None:
-            tile_px, sub_k = 512, 8
         if cfg.render_scale in (None, 0):  # auto (round-5 default)
             rs = 2 if (H % 2 == 0 and W % 2 == 0) else 1
         else:
             rs = max(int(cfg.render_scale), 1)
+        if lod is not None and tile_px is None and sub_k is None:
+            # resolution-aware retune (round 5, script/probe_rs2_tiles.py):
+            # at the quad-rate render (<=128² foreground) tile 256 /
+            # sub_k 16 measured +7.3% end-to-end over the 224²-tuned
+            # 512/8 (21.3 vs 22.9 ms/batch); full-res keeps 512/8
+            tile_px, sub_k = ((256, 16) if (H // rs) * (W // rs) <= 128 * 128
+                              else (512, 8))
         if rs > 1:
             # quad-rate raster: fold the downscale into the camera, render
             # the FOREGROUND at (H/rs, W/rs); render_scene nearest-
