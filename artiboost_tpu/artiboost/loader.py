@@ -169,7 +169,13 @@ class ArtiBoostLoader:
             textured=bool(rend_cfg.get("TEXTURED", True)),
             bilinear=bool(rend_cfg.get("BILINEAR", False)),
             tex_subsample=int(rend_cfg.get("TEX_SUBSAMPLE", 2)),
-            image_bf16=bool(rend_cfg.get("IMAGE_BF16", False)),
+            # bf16 post-render image passes: re-measured at the round-5
+            # quad-rate regime where the HBM-bound blur/jitter chain is
+            # ~half the synth cost — 21.4-22.9 -> 19.1-19.4 ms/batch
+            # (-11-15%; was noise-level at the 62 ms regime). Storage
+            # quantum ~0.002 on [-0.5, 0.5], under the 1/255 pixel step;
+            # mixed batches promote back to f32 at the union concat.
+            image_bf16=bool(rend_cfg.get("IMAGE_BF16", True)),
             tile_px=rend_cfg.get("TILE_PX"),
             sub_k=rend_cfg.get("SUB_K"),
             render_scale=rend_cfg.get("RENDER_SCALE"),  # None = auto (2)
